@@ -1,0 +1,231 @@
+"""Oracle tests for the numerical substrate (SURVEY.md §7 step 1).
+
+Oracles: NumPy/SciPy. The reference has no tests; its formulas are cited in
+each op's docstring, and these tests pin our implementations to independent
+reimplementations of those formulas.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.signal
+
+from wavespec_tpu import ops
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------- windows
+
+
+@pytest.mark.parametrize(
+    "wt,scipy_name",
+    [
+        (ops.WindowType.HANN, "hann"),
+        (ops.WindowType.HAMMING, "hamming"),
+        (ops.WindowType.BLACKMAN, "blackman"),
+        (ops.WindowType.BARTLETT, "bartlett"),
+    ],
+)
+def test_window_matches_scipy(wt, scipy_name):
+    n = 256
+    ours = np.asarray(ops.window_coefficients(n, wt, dtype=jnp.float64))
+    theirs = scipy.signal.get_window(scipy_name, n, fftbins=False)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_window_none_identity():
+    x = rng().standard_normal((3, 128)).astype(np.float32)
+    out = np.asarray(ops.apply_window(jnp.asarray(x), ops.WindowType.NONE))
+    np.testing.assert_array_equal(out, x)
+
+
+def test_apply_window_batched():
+    x = rng(1).standard_normal((4, 64)).astype(np.float32)
+    w = np.asarray(ops.window_coefficients(64, ops.WindowType.BLACKMAN))
+    out = np.asarray(ops.apply_window(jnp.asarray(x), ops.WindowType.BLACKMAN))
+    np.testing.assert_allclose(out, x * w, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- detrend
+
+
+def ehlers_oracle(price, period):
+    """Sequential reimplementation of the reference trend filter."""
+    w = 2.0 * np.pi / period
+    alpha = (1.0 - np.sin(w)) / np.cos(w)
+    c = (1.0 - alpha) / 2.0
+    trend = np.zeros_like(price)
+    trend[0] = c * (price[0] + price[0])
+    for j in range(1, len(price)):
+        trend[j] = c * (price[j] + price[j - 1]) + alpha * trend[j - 1]
+    return price - trend
+
+
+def test_ehlers_highpass_matches_sequential_oracle():
+    x = np.cumsum(rng(2).standard_normal(512)).astype(np.float64)
+    want = ehlers_oracle(x, 128)
+    got = np.asarray(ops.ehlers_highpass_detrend(jnp.asarray(x, jnp.float32), 128))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_ehlers_kills_linear_trend():
+    t = np.arange(2048, dtype=np.float64)
+    x = 0.5 * t + 100.0
+    out = np.asarray(
+        ops.ehlers_highpass_detrend(jnp.asarray(x, jnp.float32), 256)
+    )
+    # After warm-up the HP output of a pure line decays toward a constant
+    # small residual, far below the trend magnitude.
+    assert np.abs(out[500:]).max() < np.abs(x[500:]).min() * 0.2
+
+
+def test_linear_detrend_exact_on_line():
+    t = np.arange(256, dtype=np.float32)
+    x = 3.0 * t - 7.0
+    out = np.asarray(ops.linear_detrend(jnp.asarray(x)))
+    np.testing.assert_allclose(out, np.zeros_like(x), atol=1e-3)
+
+
+def test_linear_detrend_matches_scipy():
+    x = rng(3).standard_normal((2, 300)).astype(np.float32)
+    want = scipy.signal.detrend(x.astype(np.float64), axis=-1, type="linear")
+    got = np.asarray(ops.linear_detrend(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_remove_dc_mean():
+    x = rng(4).standard_normal((2, 128)).astype(np.float32) + 5.0
+    out = np.asarray(ops.remove_dc(jnp.asarray(x), ops.DcMode.MEAN))
+    np.testing.assert_allclose(out.mean(axis=-1), 0.0, atol=1e-5)
+
+
+def test_remove_dc_leaky_matches_sequential():
+    x = rng(5).standard_normal(200).astype(np.float64) + 2.0
+    alpha = 0.98
+    dc = np.zeros_like(x)
+    acc = 0.0
+    for i in range(len(x)):
+        acc = alpha * acc + (1 - alpha) * x[i]
+        dc[i] = acc
+    want = x - dc
+    got = np.asarray(ops.remove_dc(jnp.asarray(x, jnp.float32), ops.DcMode.LEAKY, 0.98))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- spectrum
+
+
+def test_rfft_bins_matches_numpy():
+    x = rng(6).standard_normal((3, 512)).astype(np.float32)
+    want = np.fft.rfft(x.astype(np.float64))[:, :256]
+    got = np.asarray(ops.rfft_bins(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_interleaved_layout_parity():
+    """Bridge layout: out[2k]=re_k, out[2k+1]=im_k, len(out)=n."""
+    x = rng(7).standard_normal(256).astype(np.float32)
+    inter = np.asarray(ops.rfft_interleaved(jnp.asarray(x)))
+    assert inter.shape == (256,)
+    full = np.fft.rfft(x.astype(np.float64))
+    np.testing.assert_allclose(inter[0::2], full[:128].real, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(inter[1::2], full[:128].imag, rtol=1e-4, atol=1e-3)
+
+
+def bandlimited(seed, shape, n):
+    """Random series with zero Nyquist energy (the N/2-bin contract drops
+    the Nyquist bin, so roundtrips are only exact on band-limited input)."""
+    spec = rng(seed).standard_normal((*shape, n // 2 + 1, 2))
+    spec[..., -1, :] = 0.0
+    return np.fft.irfft(spec[..., 0] + 1j * spec[..., 1], n=n).astype(np.float32)
+
+
+def test_irfft_roundtrip():
+    x = bandlimited(8, (2,), 512)
+    spec = ops.rfft_bins(jnp.asarray(x))
+    back = np.asarray(ops.irfft_from_bins(spec, 512))
+    np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-3)
+
+
+def test_irfft_from_interleaved_roundtrip():
+    x = bandlimited(9, (), 128)
+    inter = ops.rfft_interleaved(jnp.asarray(x))
+    back = np.asarray(ops.irfft_from_interleaved(inter))
+    np.testing.assert_allclose(back, x, rtol=1e-3, atol=1e-3)
+
+
+def test_power_spectrum():
+    x = rng(10).standard_normal(256).astype(np.float32)
+    spec = ops.rfft_bins(jnp.asarray(x))
+    ps = np.asarray(ops.power_spectrum(spec))
+    want = np.abs(np.fft.rfft(x.astype(np.float64))[:128]) ** 2
+    np.testing.assert_allclose(ps, want, rtol=1e-3, atol=1e-2)
+
+
+def test_band_indices_match_reference_formula():
+    # N=4096, band [18, 200] bars -> k in [ceil(4096/200), floor(4096/18)]
+    k_min, k_max = ops.band_indices(4096, 18.0, 200.0)
+    assert k_min == int(np.ceil(4096 / 200.0)) == 21
+    assert k_max == int(np.floor(4096 / 18.0)) == 227
+
+
+def test_topk_finds_planted_sinusoids():
+    n = 4096
+    t = np.arange(n)
+    periods = [50.0, 120.0, 33.0]
+    amps = [3.0, 2.0, 1.0]
+    x = sum(a * np.sin(2 * np.pi * t / p) for a, p in zip(amps, periods))
+    x = x.astype(np.float32)
+    spec = ops.rfft_bins(jnp.asarray(x))
+    ps = ops.power_spectrum(spec)
+    idx, powers, per = ops.topk_cycles(
+        ps, n=n, top_k=3, min_period=18.0, max_period=200.0
+    )
+    got_periods = sorted(np.asarray(per).tolist())
+    # bin quantization: period = n/round(n/p)
+    want = sorted(n / round(n / p) for p in periods)
+    np.testing.assert_allclose(got_periods, want, rtol=0.02)
+    # strongest first
+    assert np.asarray(powers)[0] >= np.asarray(powers)[1] >= np.asarray(powers)[2]
+
+
+def test_topk_excludes_out_of_band():
+    n = 1024
+    t = np.arange(n)
+    # One in-band (p=40), one out-of-band (p=8 < min_period 18).
+    x = (np.sin(2 * np.pi * t / 40) + 10 * np.sin(2 * np.pi * t / 8)).astype(np.float32)
+    ps = ops.power_spectrum(ops.rfft_bins(jnp.asarray(x)))
+    idx, powers, per = ops.topk_cycles(ps, n=n, top_k=1, min_period=18.0, max_period=200.0)
+    np.testing.assert_allclose(float(per[0]), 1024 / round(1024 / 40), rtol=0.02)
+
+
+# ---------------------------------------------------------------- phase
+
+
+def test_unwrap_matches_numpy():
+    x = rng(11).standard_normal((2, 300)).astype(np.float32)
+    ph = np.asarray(ops.fft_phase(ops.rfft_bins(jnp.asarray(x)))).astype(np.float64)
+    want = np.unwrap(ph, axis=-1)
+    got = np.asarray(ops.unwrap_phase(jnp.asarray(ph, jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_group_delay_clamped():
+    n = 512
+    x = rng(12).standard_normal(n).astype(np.float32)
+    _, uw, gd = ops.phase_analysis(ops.rfft_bins(jnp.asarray(x)))
+    assert np.all(np.abs(np.asarray(gd)) <= 100.0 + 1e-5)
+
+
+def test_group_delay_of_delayed_impulse():
+    """delta(t-d) has X_k = e^{-2*pi*i*k*d/n} -> group delay d at all bins."""
+    n = 1024
+    d = 10
+    x = np.zeros(n, np.float32)
+    x[d] = 1.0
+    spec = ops.rfft_bins(jnp.asarray(x))
+    _, uw, gd = ops.phase_analysis(spec)
+    np.testing.assert_allclose(np.asarray(gd[1:-1]), d, atol=0.5)

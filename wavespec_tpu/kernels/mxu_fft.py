@@ -1,0 +1,149 @@
+"""MXU-native real FFT: four-step (Bailey/Cooley-Tukey) DFT as matmuls.
+
+TPU-native replacement for the bridge's `gpu_fft_real_forward` /
+`gpu_fft_real_inverse` / `gpu_fft_real_forward_batch`
+(`Include/imports.mqh:8`, `Legacy/WaveSpecZZ_gpu_cycles.mq5:14`).
+
+Why not a radix-2 butterfly kernel (the reference's CPU fallback shape,
+`Legacy/WaveSpecZZ_1.0.2.mq5:938-974`)? Butterflies are a scalar/VPU
+workload with log2(N) sequential stages and strided access — a poor fit
+for the TPU. The systolic MXU wants large dense matmuls. The classic
+four-step decomposition N = N1*N2 turns one N-point DFT into
+
+    1. reshape x to A[n1, n2]          (row-major, free)
+    2. B = F_{N1} @ A                  (DFT down columns; real matmul x2)
+    3. C = B * W_N^{n2*k1}             (twiddle, elementwise)
+    4. X_mat = C @ F_{N2}              (DFT along rows; real matmul x4)
+    5. X[N1*k2 + k1] = X_mat[k1, k2]   (transpose + flatten)
+
+For the *real* forward transform we only need bins 0..N/2-1 (the bridge
+contract emits exactly N/2 bins), i.e. only k2 < N2/2 — so step 4 uses the
+half-width matrix F_{N2}[:, :N2/2], halving its FLOPs. Everything batches
+over windows as one 3D dot_general, exactly what XLA tiles onto the MXU.
+
+Cost: O(N*(N1+N2)) MACs/window vs O(N log N) for a true FFT — ~8x more
+FLOPs at N=4096 — but they run at MXU rates on data already resident in
+VMEM, and the batched formulation amortizes all launch overhead. The
+streaming bound (16 KiB/window over HBM) dominates (see BASELINE.md).
+
+Precision: f32 inputs with `precision=HIGHEST` (bf16x6 passes on the MXU)
+give ~1e-6 relative error at N=4096, meeting the parity gate. A `fast`
+mode (bf16x1) is available for throughput scans.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["rfft_mxu", "irfft_mxu", "dft_factors"]
+
+
+def dft_factors(n: int) -> tuple[int, int]:
+    """Split N (power of two, >=16) into N1*N2 with N1 <= N2, both powers of 2."""
+    if n < 16 or (n & (n - 1)) != 0:
+        raise ValueError(f"window length must be a power of two >= 16, got {n}")
+    log = n.bit_length() - 1
+    n1 = 1 << (log // 2)
+    return n1, n // n1
+
+
+@lru_cache(maxsize=32)
+def _plan(n: int):
+    """Precompute (host, float64) the DFT/twiddle factor matrices for N."""
+    n1, n2 = dft_factors(n)
+    i1 = np.arange(n1)
+    # F1[n1_in, k1] = exp(-2i pi n1_in k1 / N1); symmetric.
+    f1 = np.exp(-2j * np.pi * np.outer(i1, i1) / n1)
+    # Half-spectrum row DFT: F2[n2_in, k2], k2 < N2/2 covers bins < N/2.
+    i2 = np.arange(n2)
+    k2 = np.arange(n2 // 2)
+    f2h = np.exp(-2j * np.pi * np.outer(i2, k2) / n2)
+    # Twiddle T[k1, n2_in] = exp(-2i pi k1 n2_in / N).
+    tw = np.exp(-2j * np.pi * np.outer(i1, i2) / n)
+    return (
+        (f1.real.astype(np.float32), f1.imag.astype(np.float32)),
+        (f2h.real.astype(np.float32), f2h.imag.astype(np.float32)),
+        (tw.real.astype(np.float32), tw.imag.astype(np.float32)),
+    )
+
+
+def _matmul(a, b, precision):
+    return jnp.matmul(a, b, precision=precision)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def rfft_mxu(x: jax.Array, precision: str = "highest") -> jax.Array:
+    """Forward real DFT -> first n//2 complex bins, batched over leading dims.
+
+    Drop-in for `wavespec_tpu.ops.rfft_bins` on backends without an FFT
+    lowering (and faster for large window batches on TPU).
+    """
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    n = x.shape[-1]
+    n1, n2 = dft_factors(n)
+    (f1r, f1i), (f2r, f2i), (twr, twi) = _plan(n)
+    f1r, f1i, f2r, f2i, twr, twi = (
+        jnp.asarray(a) for a in (f1r, f1i, f2r, f2i, twr, twi)
+    )
+    batch = x.shape[:-1]
+    a = x.reshape(-1, n1, n2).astype(jnp.float32)
+
+    # Step 1: column DFT, real input. B[k1, n2] = sum_n1 F1[k1,n1] A[n1,n2].
+    br = jnp.einsum("kn,bnm->bkm", f1r, a, precision=prec)
+    bi = jnp.einsum("kn,bnm->bkm", f1i, a, precision=prec)
+
+    # Step 2: twiddle (elementwise complex multiply, fused by XLA).
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+
+    # Step 3: row DFT with half-width F2 (only bins < n/2 needed).
+    xr = _matmul(cr, f2r, prec) - _matmul(ci, f2i, prec)
+    xi = _matmul(cr, f2i, prec) + _matmul(ci, f2r, prec)
+
+    # Step 4: X[N1*k2 + k1] = X_mat[k1, k2] -> transpose then flatten.
+    xr = jnp.swapaxes(xr, -1, -2).reshape(*batch, n // 2)
+    xi = jnp.swapaxes(xi, -1, -2).reshape(*batch, n // 2)
+    return jax.lax.complex(xr, xi)
+
+
+@lru_cache(maxsize=32)
+def _iplan(n: int):
+    """Inverse-DFT factor matrices, mapping n//2 bins -> n real samples.
+
+    The inverse of the bridge layout treats the missing upper half of the
+    spectrum by Hermitian symmetry (Nyquist bin = 0):
+      x[m] = (1/N) * Re[ X[0] + 2 * sum_{k=1}^{N/2-1} X[k] e^{+2i pi k m / N} ].
+    We fold the 1/N and the doubling into a single real matrix pair applied
+    to (re, im): x = Re(X) @ Cr^T + Im(X) @ Ci^T with
+      Cr[m, k] = w_k cos(2 pi k m / N) / N,
+      Ci[m, k] = -w_k sin(2 pi k m / N) / N,   w_0 = 1, w_{k>0} = 2.
+    """
+    half = n // 2
+    m = np.arange(n)
+    k = np.arange(half)
+    ang = 2.0 * np.pi * np.outer(k, m) / n  # [half, n]
+    w = np.where(k == 0, 1.0, 2.0)[:, None]
+    cr = (w * np.cos(ang) / n).astype(np.float32)  # [half, n]
+    ci = (-w * np.sin(ang) / n).astype(np.float32)
+    return cr, ci
+
+
+@partial(jax.jit, static_argnames=("n", "precision"))
+def irfft_mxu(spec: jax.Array, n: int, precision: str = "highest") -> jax.Array:
+    """Inverse of `rfft_mxu`: n//2 complex bins -> n real samples.
+
+    Direct dense synthesis (one [B, n/2] @ [n/2, n] pair). O(N^2/2) MACs —
+    fine for the op-library path (`gpu_fft_real_inverse` parity); the fused
+    reconstruction pipeline synthesizes only top-k bins instead.
+    """
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    cr, ci = _iplan(n)
+    cr, ci = jnp.asarray(cr), jnp.asarray(ci)
+    re = jnp.real(spec).astype(jnp.float32)
+    im = jnp.imag(spec).astype(jnp.float32)
+    return _matmul(re, cr, prec) + _matmul(im, ci, prec)
