@@ -1,0 +1,229 @@
+"""End-to-end extract_cycles tests: FFT ridge and MUSIC (SURVEY §7 steps 2+4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wavespec_tpu import extract
+from wavespec_tpu.analyze.jacobi import jacobi_eigh
+from wavespec_tpu.extract import (
+    AMPLITUDE, ETA_BARS, ETA_CONFIDENCE, ENERGY_RATIO, FREQ, METHOD_ID,
+    PERIOD, PHASE, SCORE, SNR_DB, ExtractConfig, Method, DetrendMode,
+    extract_cycles, extract_cycles_batch,
+)
+
+
+def planted_series(n, cycles, noise=0.0, seed=0, trend=0.0):
+    t = np.arange(n)
+    x = np.zeros(n)
+    for amp, period, psi in cycles:
+        x += amp * np.sin(2 * np.pi * t / period + psi)
+    if noise:
+        x += noise * np.random.default_rng(seed).standard_normal(n)
+    if trend:
+        x += trend * t
+    return x.astype(np.float32)
+
+
+# ------------------------------------------------------------ jacobi eigh
+
+
+def test_jacobi_eigh_matches_numpy():
+    r = np.random.default_rng(0)
+    a = r.standard_normal((5, 10, 10)).astype(np.float32)
+    a = a + np.swapaxes(a, -1, -2)
+    vals, vecs = jacobi_eigh(jnp.asarray(a))
+    want_vals = np.linalg.eigvalsh(a.astype(np.float64))
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-4, atol=1e-4)
+    # eigenvector property: A v = lambda v
+    av = np.einsum("bij,bjk->bik", a, np.asarray(vecs))
+    lv = np.asarray(vals)[:, None, :] * np.asarray(vecs)
+    np.testing.assert_allclose(av, lv, atol=1e-3)
+
+
+# --------------------------------------------------------- FFT ridge path
+
+
+def fft_cfg(**kw):
+    d = dict(window=1024, top_k=3, min_period=10.0, max_period=200.0,
+             sample_rate_seconds=60.0, method=Method.FFT_RIDGE)
+    d.update(kw)
+    return ExtractConfig(**d)
+
+
+def test_fft_ridge_recovers_periods_amplitudes():
+    cfg = fft_cfg()
+    # exact-bin periods: 1024/16=64, 1024/32=32
+    x = planted_series(1024, [(2.0, 64.0, 0.3), (1.0, 32.0, 1.0)])
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    assert attrs.shape == (3, 15)
+    np.testing.assert_allclose(attrs[0, PERIOD], 64.0, rtol=1e-5)
+    np.testing.assert_allclose(attrs[1, PERIOD], 32.0, rtol=1e-5)
+    np.testing.assert_allclose(attrs[0, AMPLITUDE], 2.0, rtol=1e-3)
+    np.testing.assert_allclose(attrs[1, AMPLITUDE], 1.0, rtol=1e-3)
+    assert attrs[0, METHOD_ID] == 0.0
+
+
+def test_fft_ridge_phase_reconstructs_signal():
+    """amp*sin(phase - omega*k) at bar (n-1-k) must match the planted wave."""
+    cfg = fft_cfg(top_k=1)
+    x = planted_series(1024, [(1.5, 64.0, 0.7)])
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))[0]
+    amp, freq, phase = attrs[AMPLITUDE], attrs[FREQ], attrs[PHASE]
+    omega = 2 * np.pi * freq
+    for k in range(0, 200, 17):
+        want = x[1023 - k]
+        got = amp * np.sin(phase - omega * k)
+        np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_fft_ridge_eta_is_bars_to_next_extremum():
+    cfg = fft_cfg(top_k=1)
+    x = planted_series(1024, [(1.0, 64.0, 0.2)])
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))[0]
+    eta = attrs[ETA_BARS]
+    omega = 2 * np.pi * attrs[FREQ]
+    theta_future = attrs[PHASE] + omega * eta
+    # next extremum: theta = pi/2 (mod pi)
+    assert abs(((theta_future - np.pi / 2) + np.pi / 2) % np.pi - np.pi / 2) < 1e-3
+    assert 0 <= eta <= 32.5
+    np.testing.assert_allclose(attrs[5], eta * 60.0, rtol=1e-5)  # eta_seconds
+
+
+def test_fft_ridge_quality_fields_sane():
+    cfg = fft_cfg(top_k=2)
+    x = planted_series(1024, [(2.0, 64.0, 0.0)], noise=0.1, seed=1)
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    assert attrs[0, SNR_DB] > 10.0
+    assert 0.0 <= attrs[0, ENERGY_RATIO] <= 1.0
+    assert 0.0 <= attrs[0, SCORE] <= 1.0
+    assert 0.0 <= attrs[0, ETA_CONFIDENCE] <= 1.0
+    assert attrs[0, ENERGY_RATIO] > attrs[1, ENERGY_RATIO]
+
+
+def test_linear_detrend_mode_removes_trend_bias():
+    cfg_nd = fft_cfg(top_k=1)
+    cfg_lin = fft_cfg(top_k=1, detrend=DetrendMode.LINEAR)
+    x = planted_series(1024, [(1.0, 64.0, 0.0)], trend=0.02)
+    a_nd = np.asarray(extract_cycles(jnp.asarray(x), cfg_nd))[0]
+    a_lin = np.asarray(extract_cycles(jnp.asarray(x), cfg_lin))[0]
+    # with detrend the amplitude estimate is closer to truth
+    assert abs(a_lin[AMPLITUDE] - 1.0) <= abs(a_nd[AMPLITUDE] - 1.0) + 1e-6
+    np.testing.assert_allclose(a_lin[PERIOD], 64.0, rtol=1e-5)
+
+
+def test_batch_matches_single_window():
+    cfg = fft_cfg(top_k=2)
+    series = planted_series(1024 + 64, [(1.0, 64.0, 0.0), (0.5, 32.0, 0.5)],
+                            noise=0.05, seed=2)
+    hop = 16
+    batch = np.asarray(extract_cycles_batch(jnp.asarray(series), cfg, hop=hop))
+    nwin = 1 + (len(series) - 1024) // hop
+    assert batch.shape == (nwin, 2, 15)
+    for w in [0, nwin // 2, nwin - 1]:
+        window = series[w * hop : w * hop + 1024]
+        single = np.asarray(extract_cycles(jnp.asarray(window), cfg))
+        np.testing.assert_allclose(batch[w], single, rtol=1e-3, atol=1e-4)
+
+
+def test_no_repaint_invariant():
+    """Appending bars never changes an already-computed window's attrs.
+
+    This is the reference's one stated correctness invariant
+    (`Legacy/WaveSpecZZ_1.0.2.mq5:15-17`).
+    """
+    cfg = fft_cfg(top_k=2)
+    series = planted_series(1200, [(1.0, 50.0, 0.1)], noise=0.05, seed=3)
+    a = np.asarray(extract_cycles_batch(jnp.asarray(series[:1100]), cfg, hop=16))
+    b = np.asarray(extract_cycles_batch(jnp.asarray(series), cfg, hop=16))
+    np.testing.assert_array_equal(a, b[: a.shape[0]])
+
+
+# -------------------------------------------------------------- MUSIC path
+
+
+def music_cfg(**kw):
+    d = dict(window=1024, top_k=2, min_period=10.0, max_period=200.0,
+             method=Method.MUSIC, ar_order=10)
+    d.update(kw)
+    return ExtractConfig(**d)
+
+
+def test_music_perfect_cycles_regime():
+    """CHANGELOG 'perfect cycles' regime: ar_order=10, top_k=2."""
+    cfg = music_cfg()
+    x = planted_series(1024, [(2.0, 64.0, 0.3), (1.0, 30.0, 1.2)])
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    assert attrs.shape == (2, 15)
+    periods = sorted(attrs[:, PERIOD])
+    np.testing.assert_allclose(periods, [30.0, 64.0], rtol=0.03)
+    assert np.all(attrs[:, METHOD_ID] == 1.0)
+    # amplitudes from the LS fit should be accurate
+    amps = sorted(attrs[:, AMPLITUDE])
+    np.testing.assert_allclose(amps, [1.0, 2.0], rtol=0.05)
+
+
+def test_music_off_bin_superresolution():
+    """MUSIC resolves a period that is NOT an integer FFT bin."""
+    cfg = music_cfg(top_k=1, music_grid_per_bin=8)
+    x = planted_series(1024, [(1.0, 47.3, 0.5)])
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    np.testing.assert_allclose(attrs[0, PERIOD], 47.3, rtol=0.02)
+
+
+def test_music_phase_reconstruction():
+    cfg = music_cfg(top_k=1)
+    x = planted_series(1024, [(1.5, 64.0, 0.7)])
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))[0]
+    amp, freq, phase = attrs[AMPLITUDE], attrs[FREQ], attrs[PHASE]
+    omega = 2 * np.pi * freq
+    for k in range(0, 400, 31):
+        want = x[1023 - k]
+        got = amp * np.sin(phase - omega * k)
+        np.testing.assert_allclose(got, want, atol=5e-2)
+
+
+def test_music_with_noise():
+    cfg = music_cfg()
+    x = planted_series(1024, [(2.0, 64.0, 0.3), (1.0, 30.0, 1.2)], noise=0.3, seed=4)
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    periods = sorted(attrs[:, PERIOD])
+    np.testing.assert_allclose(periods, [30.0, 64.0], rtol=0.05)
+    assert np.all(attrs[:, SNR_DB] > 0.0)
+
+
+def test_music_random_walk_background():
+    """The realistic feed: cycles on a random-walk price. The internal
+    high-pass must keep the drift out of the covariance, and the peak
+    exclusion zone must prevent near-duplicate picks."""
+    cfg = music_cfg(window=4096, ar_order=12, min_period=9.0)
+    t = np.arange(4096)
+    rw = np.cumsum(0.02 * np.random.default_rng(0).standard_normal(4096))
+    x = (rw + 3.0 * np.sin(2 * np.pi * t / 50) + 2.0 * np.sin(2 * np.pi * t / 120)).astype(np.float32)
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    periods = sorted(attrs[:, PERIOD])
+    np.testing.assert_allclose(periods, [50.0, 120.0], rtol=0.05)
+    amps = sorted(attrs[:, AMPLITUDE])
+    np.testing.assert_allclose(amps, [2.0, 3.0], rtol=0.15)
+    # picks must be distinct (no near-duplicate ridge shoulders)
+    assert abs(periods[1] - periods[0]) > 5.0
+
+
+def test_music_batch_shape():
+    cfg = music_cfg()
+    series = planted_series(1024 + 128, [(1.0, 64.0, 0.0)], noise=0.1, seed=5)
+    out = np.asarray(extract_cycles_batch(jnp.asarray(series), cfg, hop=64))
+    assert out.shape == (3, 2, 15)
+
+
+def test_ar_order_too_small_raises():
+    with pytest.raises(ValueError):
+        cfg = music_cfg(ar_order=4, top_k=2)
+        extract_cycles(jnp.zeros(1024), cfg)
+
+
+def test_invalid_config_raises():
+    with pytest.raises(ValueError):
+        ExtractConfig(window=1000)
+    with pytest.raises(ValueError):
+        ExtractConfig(top_k=9)

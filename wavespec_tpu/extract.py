@@ -1,0 +1,317 @@
+"""Dominant-cycle extraction: the TPU rebuild of `gpu_extract_cycles`.
+
+Reference contract (`Include/imports.mqh:9-18`, decode at
+`WaveSpecZZ_1.1.0-gpuopt.mq5:1477-1490`): one call fuses
+detrend + taper + rFFT + power spectrum + in-band top-k + per-cycle
+attribute computation, and emits a **stride-15 record per cycle**:
+
+    [0] amplitude          price units
+    [1] freq               cycles/bar
+    [2] period             bars
+    [3] phase              rad, instantaneous phase at the newest bar
+    [4] eta_bars           bars to next extremum of the cycle
+    [5] eta_seconds        eta_bars * sample_rate_seconds
+    [6] energy_ratio       0..1, cycle power / total in-band power
+    [7] coherence          0..1, spectral concentration at the peak
+    [8] snr_db             peak power vs in-band noise floor, dB
+    [9] residual_power     0..1, in-band power not captured by top-k
+    [10] eigen_ratio       subspace signal/noise eigenvalue ratio (MUSIC);
+                           peak-to-runner-up power ratio (FFT ridge)
+    [11] score             composite quality in 0..1
+    [12] kalman_pred       one-step-ahead predicted cycle value
+    [13] eta_confidence    0..1
+    [14] method_id         0 = FFT ridge, 1 = MUSIC/ESPRIT
+
+`method`: 0 = FFT ridge, 1 = MUSIC/ESPRIT, -1 = auto (MUSIC with FFT seed,
+per `1.1.0:50`). The implementation of the closed DLL is unobservable, so
+fields the reference only names (coherence, score, eta_confidence,
+kalman_pred) follow the principled definitions documented on
+`_attrs_from_peaks` below; the fields with decode-site semantics
+(amplitude/freq/period/phase/eta/energy/method) match the reference's
+reconstruction math (`1.1.0:1472-1541`) exactly: a cycle is
+``amp * sin(phase - omega * k)`` back-propagated k bars.
+
+TPU-first design: the whole extractor is one jitted program; the batch
+variant (`gpu_submit_extract_cycles_batch` parity) evaluates all rolling
+STFT windows as a single batched MXU DFT — no per-window dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from wavespec_tpu.kernels.mxu_fft import rfft_mxu
+from wavespec_tpu.ops.detrend import ehlers_highpass_detrend, linear_detrend
+from wavespec_tpu.ops.spectrum import band_mask
+from wavespec_tpu.ops.windows import WindowType, coherent_gain, window_coefficients
+
+STRIDE = 15
+
+# Attribute field indices (stride-15 record).
+AMPLITUDE = 0
+FREQ = 1
+PERIOD = 2
+PHASE = 3
+ETA_BARS = 4
+ETA_SECONDS = 5
+ENERGY_RATIO = 6
+COHERENCE = 7
+SNR_DB = 8
+RESIDUAL_POWER = 9
+EIGEN_RATIO = 10
+SCORE = 11
+KALMAN_PRED = 12
+ETA_CONFIDENCE = 13
+METHOD_ID = 14
+
+
+class Method(enum.IntEnum):
+    """`method` parameter of gpu_extract_cycles (`1.1.0:50`)."""
+
+    AUTO = -1
+    FFT_RIDGE = 0
+    MUSIC = 1
+
+
+class DetrendMode(enum.IntEnum):
+    """Feed preconditioning before the FFT.
+
+    NONE matches the 1.1.0 nodetrend flagship (`1.1.0:1239-1241`); EHLERS
+    is the v7.57 trend high-pass (`...pla-kalman.mq5:3422-3435`); LINEAR is
+    the least-squares detrend (BASELINE config #1).
+    """
+
+    NONE = 0
+    LINEAR = 1
+    EHLERS = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtractConfig:
+    """Static extraction configuration (hashable -> usable as jit static arg).
+
+    Defaults mirror the flagship inputs (`1.1.0:21-23,49-54`).
+    """
+
+    window: int = 4096
+    top_k: int = 4
+    min_period: float = 9.0
+    max_period: float = 200.0
+    sample_rate_seconds: float = 60.0
+    method: Method = Method.MUSIC
+    ar_order: int = 10
+    detrend: DetrendMode = DetrendMode.NONE
+    taper: WindowType = WindowType.NONE
+    trend_period: int = 1024
+    # MUSIC frequency-grid refinement factor (grid points per FFT bin).
+    music_grid_per_bin: int = 4
+    # Covariance decimation for the subspace stage; 0 = auto (see
+    # analyze.music._auto_decimation).
+    music_decimation: int = 0
+    # Internal high-pass above the analysis band before the subspace stage
+    # (MUSIC assumes sinusoids + white-ish noise; a raw price random walk
+    # does not satisfy that).
+    music_highpass: bool = True
+
+    def __post_init__(self):
+        if self.window & (self.window - 1) or self.window < 16:
+            raise ValueError(f"window must be a power of two >= 16, got {self.window}")
+        if not 1 <= self.top_k <= 8:
+            raise ValueError(f"top_k must be in [1, 8], got {self.top_k}")
+
+
+def _precondition(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
+    """Detrend + taper a batch of windows ``[..., n]``."""
+    if cfg.detrend == DetrendMode.LINEAR:
+        windows = linear_detrend(windows)
+    elif cfg.detrend == DetrendMode.EHLERS:
+        windows = ehlers_highpass_detrend(windows, cfg.trend_period)
+    if cfg.taper != WindowType.NONE:
+        windows = windows * window_coefficients(cfg.window, cfg.taper, windows.dtype)
+    return windows
+
+
+def _wrap_pi(theta: jax.Array) -> jax.Array:
+    """Wrap angle to (-pi, pi]."""
+    return theta - 2.0 * jnp.pi * jnp.round(theta / (2.0 * jnp.pi))
+
+
+def _attrs_from_peaks(
+    freq: jax.Array,       # [..., k] cycles/bar
+    amp: jax.Array,        # [..., k] price units
+    phase_end: jax.Array,  # [..., k] instantaneous phase at newest bar (rad)
+    power: jax.Array,      # [..., k] peak power (for ranking/energy)
+    valid: jax.Array,      # [..., k] bool
+    total_inband: jax.Array,   # [...] total in-band power
+    noise_floor: jax.Array,    # [...] per-bin noise power estimate
+    coherence: jax.Array,  # [..., k] 0..1 spectral/subspace concentration
+    eigen_ratio: jax.Array,  # [..., k]
+    method_id: int,
+    cfg: ExtractConfig,
+) -> jax.Array:
+    """Assemble the stride-15 record from per-peak estimates.
+
+    Definitions for fields the reference names but never defines:
+    - snr_db        = 10*log10(peak_power / noise_floor)
+    - residual      = 1 - sum(top-k power)/total_inband (shared per window)
+    - score         = energy_ratio * coherence * snr_lin/(1+snr_lin)
+    - eta_confidence= coherence * snr_lin/(1+snr_lin)
+    - kalman_pred   = amp * sin(phase + omega)  (one-step-ahead cycle value)
+    ETA: sin extrema lie at phase pi/2 + m*pi, so
+    eta_bars = ((pi/2 - phase) mod pi) / omega.
+    """
+    eps = 1e-30
+    omega = 2.0 * jnp.pi * freq
+    period = jnp.where(freq > 0, 1.0 / jnp.maximum(freq, eps), 0.0)
+
+    total = jnp.maximum(total_inband[..., None], eps)
+    energy_ratio = jnp.clip(power / total, 0.0, 1.0)
+    residual = jnp.clip(
+        1.0 - jnp.sum(jnp.where(valid, power, 0.0), axis=-1) / jnp.squeeze(total, -1),
+        0.0,
+        1.0,
+    )[..., None] * jnp.ones_like(power)
+
+    snr_lin = power / jnp.maximum(noise_floor[..., None], eps)
+    snr_db = 10.0 * jnp.log10(jnp.maximum(snr_lin, eps))
+    snr_sig = snr_lin / (1.0 + snr_lin)
+
+    score = jnp.clip(energy_ratio * coherence * snr_sig, 0.0, 1.0)
+    eta_conf = jnp.clip(coherence * snr_sig, 0.0, 1.0)
+
+    delta = jnp.mod(jnp.pi / 2.0 - phase_end, jnp.pi)
+    eta_bars = jnp.where(omega > 0, delta / jnp.maximum(omega, eps), 0.0)
+    eta_seconds = eta_bars * cfg.sample_rate_seconds
+
+    kalman_pred = amp * jnp.sin(phase_end + omega)
+
+    fields = [
+        amp,
+        freq,
+        period,
+        _wrap_pi(phase_end),
+        eta_bars,
+        eta_seconds,
+        energy_ratio,
+        coherence,
+        snr_db,
+        residual,
+        eigen_ratio,
+        score,
+        kalman_pred,
+        eta_conf,
+        jnp.full_like(amp, float(method_id)),
+    ]
+    attrs = jnp.stack(fields, axis=-1)  # [..., k, 15]
+    return jnp.where(valid[..., None], attrs, jnp.zeros_like(attrs))
+
+
+def _fft_ridge(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
+    """FFT-ridge extraction over a batch of preconditioned windows [..., n].
+
+    Returns [..., top_k, 15].
+    """
+    n = cfg.window
+    spec = rfft_mxu(windows)  # [..., n//2]
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+    mask = band_mask(n, cfg.min_period, cfg.max_period, dtype=power.dtype)
+    inband = power * mask
+    total_inband = jnp.sum(inband, axis=-1)
+    n_band = jnp.maximum(jnp.sum(mask), 1.0)
+
+    peak_p, idx = jax.lax.top_k(inband, cfg.top_k)  # [..., k]
+    valid = peak_p > 0
+
+    # Noise floor: mean in-band power excluding the top-k peaks.
+    picked = jnp.sum(peak_p, axis=-1)
+    denom = jnp.maximum(n_band - cfg.top_k, 1.0)
+    noise_floor = jnp.maximum(total_inband - picked, 0.0) / denom
+
+    kf = idx.astype(power.dtype)
+    freq = kf / n
+
+    # Amplitude: |X_k| scaled by 2/N and the taper's coherent gain.
+    cg = coherent_gain(n, cfg.taper)
+    spec_k = jnp.take_along_axis(spec, idx, axis=-1)
+    amp = 2.0 * jnp.abs(spec_k) / (n * cg)
+
+    # Phase at the newest bar: x[t] = A sin(omega t + psi) has
+    # angle(X_k) = psi - pi/2 at an exact bin, so
+    # theta_end = omega*(n-1) + angle(X_k) + pi/2.
+    ang = jnp.arctan2(jnp.imag(spec_k), jnp.real(spec_k))
+    omega = 2.0 * jnp.pi * freq
+    phase_end = _wrap_pi(omega * (n - 1) + ang + jnp.pi / 2.0)
+
+    # Coherence: concentration of power at the peak vs its +/-2-bin
+    # neighborhood (1 = isolated line). Five cheap gathers, no [k, n/2]
+    # broadcast (keeps the batched path memory-lean).
+    half = power.shape[-1]
+    nb_sum = jnp.zeros_like(peak_p)
+    for off in range(-2, 3):
+        nb_sum = nb_sum + jnp.take_along_axis(
+            power, jnp.clip(idx + off, 0, half - 1), axis=-1
+        )
+    coherence = peak_p / jnp.maximum(nb_sum, 1e-30)
+
+    # Peak-to-runner-up ratio stands in for the eigen ratio on this method.
+    runner = jnp.maximum(
+        jnp.concatenate([peak_p[..., 1:], noise_floor[..., None]], axis=-1), 1e-30
+    )
+    eigen_ratio = peak_p / runner
+
+    return _attrs_from_peaks(
+        freq, amp, phase_end, peak_p, valid, total_inband, noise_floor,
+        coherence, eigen_ratio, int(Method.FFT_RIDGE), cfg,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_cycles(series: jax.Array, cfg: ExtractConfig = ExtractConfig()) -> jax.Array:
+    """Single-window extraction: last `cfg.window` samples of `series`.
+
+    Parity: `gpu_extract_cycles` (`Include/imports.mqh:9-11`) — series is
+    chronological (oldest first), the window is the trailing slice.
+    Returns `[top_k, 15]` float32 attrs.
+    """
+    win = series[..., -cfg.window:].astype(jnp.float32)
+    win = _precondition(win, cfg)
+    if cfg.method == Method.FFT_RIDGE:
+        return _fft_ridge(win, cfg)
+    # MUSIC / AUTO paths are provided by wavespec_tpu.analyze.music and
+    # dispatched here (imported lazily to avoid a cycle).
+    from wavespec_tpu.analyze.music import music_extract
+
+    return music_extract(win, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "hop"))
+def extract_cycles_batch(
+    series: jax.Array, cfg: ExtractConfig = ExtractConfig(), hop: int = 1
+) -> jax.Array:
+    """Rolling-STFT batch extraction over one series.
+
+    Parity: `gpu_submit_extract_cycles_batch` (`Include/imports.mqh:15-17`);
+    ``nwin = 1 + (len - window)/hop`` windows (`1.1.0:1014-1022`), window w
+    covering ``series[w*hop : w*hop + window]``. All windows are evaluated
+    by ONE batched MXU DFT — the per-window job queue of the reference
+    collapses into a single fused device program.
+
+    Returns `[nwin, top_k, 15]`.
+    """
+    n = series.shape[-1]
+    nwin = 1 + (n - cfg.window) // hop
+    starts = jnp.arange(nwin) * hop
+    idx = starts[:, None] + jnp.arange(cfg.window)[None, :]
+    windows = series[idx].astype(jnp.float32)  # [nwin, window]
+    windows = _precondition(windows, cfg)
+    if cfg.method == Method.FFT_RIDGE:
+        return _fft_ridge(windows, cfg)
+    from wavespec_tpu.analyze.music import music_extract
+
+    return music_extract(windows, cfg)

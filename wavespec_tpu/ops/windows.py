@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class WindowType(enum.IntEnum):
@@ -41,22 +42,44 @@ def window_coefficients(
     wt = WindowType(int(window_type))
     if n <= 1:
         return jnp.ones((n,), dtype=dtype)
-    # Trace-time iota; folded to a constant under jit.
-    i = jnp.arange(n, dtype=jnp.float32)
-    x = 2.0 * jnp.pi * i / (n - 1)
+    # Computed host-side in float64 so it stays a true constant even when
+    # called inside a jit trace (and can be consumed by trace-time Python).
+    i = np.arange(n, dtype=np.float64)
+    x = 2.0 * np.pi * i / (n - 1)
     if wt == WindowType.NONE:
-        w = jnp.ones((n,), dtype=jnp.float32)
+        w = np.ones((n,), dtype=np.float64)
     elif wt == WindowType.HANN:
-        w = 0.5 * (1.0 - jnp.cos(x))
+        w = 0.5 * (1.0 - np.cos(x))
     elif wt == WindowType.HAMMING:
-        w = 0.54 - 0.46 * jnp.cos(x)
+        w = 0.54 - 0.46 * np.cos(x)
     elif wt == WindowType.BLACKMAN:
-        w = 0.42 - 0.5 * jnp.cos(x) + 0.08 * jnp.cos(2.0 * x)
+        w = 0.42 - 0.5 * np.cos(x) + 0.08 * np.cos(2.0 * x)
     elif wt == WindowType.BARTLETT:
-        w = 1.0 - jnp.abs((2.0 * i - (n - 1)) / (n - 1))
+        w = 1.0 - np.abs((2.0 * i - (n - 1)) / (n - 1))
     else:  # pragma: no cover - exhaustive enum
         raise ValueError(f"unknown window type {window_type}")
-    return w.astype(dtype)
+    return jnp.asarray(w, dtype=dtype)
+
+
+def coherent_gain(n: int, window_type: WindowType | int) -> float:
+    """Mean of the taper coefficients (host-side float, usable at trace time).
+
+    Scales |X_k| back to true sinusoid amplitude: amp = 2|X_k| / (N * cg).
+    """
+    wt = WindowType(int(window_type))
+    if wt == WindowType.NONE or n <= 1:
+        return 1.0
+    i = np.arange(n, dtype=np.float64)
+    x = 2.0 * np.pi * i / (n - 1)
+    if wt == WindowType.HANN:
+        w = 0.5 * (1.0 - np.cos(x))
+    elif wt == WindowType.HAMMING:
+        w = 0.54 - 0.46 * np.cos(x)
+    elif wt == WindowType.BLACKMAN:
+        w = 0.42 - 0.5 * np.cos(x) + 0.08 * np.cos(2.0 * x)
+    else:  # BARTLETT
+        w = 1.0 - np.abs((2.0 * i - (n - 1)) / (n - 1))
+    return float(w.mean())
 
 
 @partial(jax.jit, static_argnames=("window_type",))

@@ -1,0 +1,214 @@
+"""Wave reconstruction & decode of stride-15 cycle attributes.
+
+Rebuild of the flagship's reconstruction/plot stage
+(`WaveSpecZZ_1.1.0-gpuopt.mq5:1472-1561`, batch-decode twin `:1066-1099`):
+
+- per-cycle quality weight  w = energy * coherence * score * snr_sigmoid,
+  with snr_sigmoid = 1/(1 + 10^(-max(snr_db, min_snr_db)/10)), zeroed when
+  coherence < min_coherence or score < min_score (`:1500-1518`);
+- MUSIC-only gate: cycles with method_id != 1 are skipped when enabled
+  (`:1492-1494`); at most `max_waves` (2) cycles plot per window (`:1474`);
+- sine reconstruction theta(k) = phase - omega*k back-propagated over
+  recon_span = min(round(max(eta_bars,1)), min(window-1, 512)) bars
+  (`:1508-1541`);
+- per-bar ETA countdown fill  max(eta_sec - k*bar_seconds, 0)  (`:1529`);
+- forecast marker at bar  i + round(eta_bars)  when eta_bars > 1 and
+  eta_confidence >= min_eta_conf (`:1543-1561`).
+
+Two decode modes:
+- `decode_causal`: each bar's value from its own window at k=0 — the state
+  a live consumer (EA) sees at that bar; append-only, never repaints
+  (the no-repaint invariant, `Legacy/WaveSpecZZ_1.0.2.mq5:15-17`).
+- `render_final`: the reference's *final plotted buffer state*, where each
+  newer window back-propagates over its span and overwrites older bars
+  (last-writer-wins), reproduced with a `lax.scan` over windows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from wavespec_tpu import extract as ex
+
+
+@dataclasses.dataclass(frozen=True)
+class ReconstructConfig:
+    """Static decode configuration (defaults = flagship inputs `1.1.0:30,64,72-77`)."""
+
+    max_waves: int = 2
+    music_only: bool = True
+    use_music_weights: bool = True
+    min_coherence: float = 0.05
+    min_score: float = 0.01
+    min_snr_db: float = -40.0
+    min_eta_conf: float = 0.0
+    draw_sine: bool = True          # DRAW_SINE_RECON vs DRAW_POINTS
+    recon_span_cap: int = 512
+    sample_rate_seconds: float = 60.0
+
+
+def quality_weight(attrs: jax.Array, cfg: ReconstructConfig) -> jax.Array:
+    """Per-cycle quality weight over attrs ``[..., 15]`` -> ``[...]``."""
+    energy = jnp.maximum(attrs[..., ex.ENERGY_RATIO], 0.0)
+    coher = jnp.maximum(attrs[..., ex.COHERENCE], 0.0)
+    score = jnp.maximum(attrs[..., ex.SCORE], 0.0)
+    snr_eff = jnp.maximum(attrs[..., ex.SNR_DB], cfg.min_snr_db)
+    w_snr = 1.0 / (1.0 + jnp.power(10.0, -snr_eff / 10.0))
+    if not cfg.use_music_weights:
+        return jnp.ones_like(energy)
+    w = energy * coher * score * w_snr
+    floor_fail = (attrs[..., ex.COHERENCE] < cfg.min_coherence) | (
+        attrs[..., ex.SCORE] < cfg.min_score
+    )
+    return jnp.where(floor_fail, 0.0, jnp.maximum(w, 0.0))
+
+
+def _select_slots(attrs: jax.Array, cfg: ReconstructConfig):
+    """Assign the first `max_waves` gate-passing cycles to plot slots.
+
+    attrs ``[..., k, 15]`` -> (slot_attrs ``[..., max_waves, 15]``,
+    slot_valid ``[..., max_waves]`` bool). Cycles arrive power-ranked from
+    the extractor, matching the reference's in-order scan (`1.1.0:1476`).
+    """
+    k = attrs.shape[-2]
+    eligible = attrs[..., ex.AMPLITUDE] > 0
+    if cfg.music_only:
+        eligible = eligible & (attrs[..., ex.METHOD_ID] == 1.0)
+    # Stable order of eligible indices: argsort on (not eligible, index).
+    rank = jnp.argsort(
+        jnp.where(eligible, 0, 1) * k + jnp.arange(k), axis=-1
+    )[..., : cfg.max_waves]
+    slot_attrs = jnp.take_along_axis(attrs, rank[..., None], axis=-2)
+    slot_valid = jnp.take_along_axis(eligible, rank, axis=-1)
+    return slot_attrs, slot_valid
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_causal(attrs: jax.Array, cfg: ReconstructConfig = ReconstructConfig()):
+    """Causal per-window decode: k=0 values only (no repaint).
+
+    attrs ``[nwin, k, 15]`` -> dict of ``[nwin, max_waves]`` arrays:
+    wave, period, eta_seconds, eta_bars, phase, weight, plus the six
+    aux attribute buffers and forecast (value, offset_bars, valid).
+    """
+    slot, valid = _select_slots(attrs, cfg)
+    w = quality_weight(slot, cfg)
+    amp_w = slot[..., ex.AMPLITUDE] * w
+    phase = slot[..., ex.PHASE]
+    wave = jnp.where(cfg.draw_sine, amp_w * jnp.sin(phase), amp_w)
+    vz = lambda x: jnp.where(valid, x, 0.0)
+
+    eta_bars = slot[..., ex.ETA_BARS]
+    eta_conf = slot[..., ex.ETA_CONFIDENCE]
+    forecast_ok = valid & (eta_bars > 1.0) & (eta_conf >= cfg.min_eta_conf)
+    return {
+        "wave": vz(wave),
+        "period": vz(slot[..., ex.PERIOD]),
+        "eta_seconds": vz(slot[..., ex.ETA_SECONDS]),
+        "eta_bars": vz(eta_bars),
+        "phase": vz(phase),
+        "weight": vz(w),
+        "energy": vz(slot[..., ex.ENERGY_RATIO]),
+        "coherence": vz(slot[..., ex.COHERENCE]),
+        "snr_db": vz(slot[..., ex.SNR_DB]),
+        "score": vz(slot[..., ex.SCORE]),
+        "eigen_ratio": vz(slot[..., ex.EIGEN_RATIO]),
+        "eta_conf": vz(eta_conf),
+        "forecast_value": jnp.where(forecast_ok, amp_w * jnp.sin(phase), 0.0),
+        "forecast_offset": jnp.where(forecast_ok, jnp.round(eta_bars), 0.0),
+        "forecast_valid": forecast_ok,
+        "slot_valid": valid,
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_bars", "hop", "window"))
+def render_final(
+    attrs: jax.Array,
+    *,
+    n_bars: int,
+    window: int,
+    hop: int = 1,
+    cfg: ReconstructConfig = ReconstructConfig(),
+):
+    """Final plotted buffer state after processing all windows in order.
+
+    attrs ``[nwin, k, 15]``; window w's newest bar is ``w*hop + window - 1``
+    (chronological indexing). Returns dict of ``[n_bars, max_waves]``
+    buffers (wave, period, eta_seconds, phase) and ``[n_bars, max_waves]``
+    forecast markers; bars never covered stay NaN (EMPTY_VALUE analog,
+    `1.1.0:1451-1470`).
+    """
+    nwin = attrs.shape[0]
+    span = min(cfg.recon_span_cap, window - 1)
+    slot, valid = _select_slots(attrs, cfg)
+    w = quality_weight(slot, cfg)
+    amp_w = slot[..., ex.AMPLITUDE] * w  # [nwin, s]
+    omega = 2.0 * jnp.pi * slot[..., ex.FREQ]
+    phase = slot[..., ex.PHASE]
+    eta_bars = slot[..., ex.ETA_BARS]
+    eta_sec = slot[..., ex.ETA_SECONDS]
+    period = slot[..., ex.PERIOD]
+    span_w = jnp.minimum(
+        jnp.round(jnp.maximum(eta_bars, 1.0)), float(span)
+    )  # [nwin, s] per-cycle recon span (`1.1.0:1510`)
+
+    s = slot.shape[-2]
+    nan = jnp.nan
+    init = {
+        "wave": jnp.full((n_bars, s), nan, jnp.float32),
+        "period": jnp.full((n_bars, s), nan, jnp.float32),
+        "eta_seconds": jnp.full((n_bars, s), nan, jnp.float32),
+        "phase": jnp.full((n_bars, s), nan, jnp.float32),
+        "forecast": jnp.full((n_bars, s), nan, jnp.float32),
+    }
+
+    ks = jnp.arange(span, -1, -1, dtype=jnp.float32)  # [span+1] k desc -> bars asc
+
+    def step(bufs, xs):
+        (w_amp, w_omega, w_phase, w_eta_sec, w_period, w_span, w_valid,
+         w_eta_bars, w_eta_conf, bar_end) = xs
+        start = jnp.maximum(bar_end - span, 0)
+        kk = (bar_end - start) - jnp.arange(span + 1, dtype=jnp.int32)
+        kkf = kk.astype(jnp.float32)
+        theta = w_phase[None, :] - w_omega[None, :] * kkf[:, None]  # [span+1, s]
+        val = jnp.where(cfg.draw_sine, w_amp[None, :] * jnp.sin(theta), w_amp[None, :])
+        cover = (kkf[:, None] <= w_span[None, :]) & (kk[:, None] >= 0) & w_valid[None, :]
+        countdown = jnp.maximum(
+            w_eta_sec[None, :] - kkf[:, None] * cfg.sample_rate_seconds, 0.0
+        )
+
+        def upd(buf, new):
+            old = jax.lax.dynamic_slice(buf, (start, 0), (span + 1, s))
+            return jax.lax.dynamic_update_slice(
+                buf, jnp.where(cover, new, old), (start, 0)
+            )
+
+        bufs = dict(bufs)
+        bufs["wave"] = upd(bufs["wave"], val)
+        bufs["period"] = upd(bufs["period"], jnp.broadcast_to(w_period[None, :], val.shape))
+        bufs["eta_seconds"] = upd(bufs["eta_seconds"], countdown)
+        bufs["phase"] = upd(bufs["phase"], theta)
+
+        # Forecast marker at bar_end + round(eta_bars) (may exceed n_bars-1;
+        # clamp and mask).
+        f_ok = w_valid & (w_eta_bars > 1.0) & (w_eta_conf >= cfg.min_eta_conf)
+        f_bar = bar_end + jnp.round(w_eta_bars).astype(jnp.int32)
+        f_val = w_amp * jnp.sin(w_phase)
+        in_range = f_ok & (f_bar < n_bars)
+        f_bar_c = jnp.clip(f_bar, 0, n_bars - 1)
+        cur = bufs["forecast"][f_bar_c, jnp.arange(s)]
+        bufs["forecast"] = bufs["forecast"].at[f_bar_c, jnp.arange(s)].set(
+            jnp.where(in_range, f_val, cur)
+        )
+        return bufs, None
+
+    bar_ends = jnp.arange(nwin, dtype=jnp.int32) * hop + (window - 1)
+    eta_conf = slot[..., ex.ETA_CONFIDENCE]
+    xs = (amp_w, omega, phase, eta_sec, period, span_w, valid, eta_bars,
+          eta_conf, bar_ends)
+    bufs, _ = jax.lax.scan(step, init, xs)
+    return bufs
