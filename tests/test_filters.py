@@ -1,0 +1,187 @@
+"""Filter-layer tests vs sequential NumPy oracles of the reference math."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from wavespec_tpu.filters import (
+    Kalman4DConfig,
+    KalmanWeightsConfig,
+    bandpass_cycle,
+    bin_contribution,
+    kalman4d_filter,
+    kalman_weights_filter,
+)
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# --------------------------------------------------------------- kalman4d
+
+
+def kalman4d_oracle(z, cfg: Kalman4DConfig):
+    """Direct sequential port of the reference StepKalman4D semantics."""
+    f = np.array(
+        [[1, 1, 0.5, 1 / 6], [0, 1, 1, 0.5], [0, 0, 1, 1], [0, 0, 0, 1]],
+        dtype=np.float64,
+    )
+    qs = max(0.05, cfg.follow_strength)
+    q = np.diag(
+        [max(1e-9, cfg.q_pos * qs), max(1e-9, cfg.q_vel * qs),
+         max(1e-9, cfg.q_acc * qs), max(1e-9, cfg.q_jerk * qs)]
+    )
+    r = max(1e-9, cfg.r)
+    x = np.array([z[0], cfg.init_vel, cfg.init_acc, cfg.init_jerk])
+    p = np.diag([cfg.init_var_pos, cfg.init_var_vel, cfg.init_var_acc, cfg.init_var_jerk])
+    out = []
+    for zi in z:
+        xp = f @ x
+        pp = f @ p @ f.T + q
+        y = zi - xp[0]
+        s = pp[0, 0] + r
+        if cfg.adapt_gain > 0:
+            boost = min(5.0, abs(y) / np.sqrt(s)) * cfg.adapt_gain
+            pp = pp + boost * q
+            s = pp[0, 0] + r
+        if cfg.clip_std > 0:
+            lim = cfg.clip_std * np.sqrt(s)
+            y = np.clip(y, -lim, lim)
+        k = pp[:, 0] / s
+        x = xp + k * y
+        p = pp - np.outer(k, pp[0, :])
+        np.fill_diagonal(p, np.maximum(np.diag(p), 1e-12))
+        out.append(x[0])
+    return np.array(out)
+
+
+def test_kalman4d_matches_oracle():
+    cfg = Kalman4DConfig()
+    z = np.cumsum(rng(0).standard_normal(300)).astype(np.float32) + 100.0
+    got, xf = kalman4d_filter(jnp.asarray(z), cfg)
+    want = kalman4d_oracle(z.astype(np.float64), cfg)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-3)
+
+
+def test_kalman4d_tracks_smooth_signal():
+    t = np.arange(500)
+    z = np.sin(2 * np.pi * t / 100).astype(np.float32)
+    got, _ = kalman4d_filter(jnp.asarray(z), Kalman4DConfig())
+    err = np.abs(np.asarray(got)[100:] - z[100:])
+    assert err.mean() < 0.05
+
+
+def test_kalman4d_batched():
+    z = rng(1).standard_normal((3, 100)).astype(np.float32)
+    got, xf = kalman4d_filter(jnp.asarray(z), Kalman4DConfig())
+    assert got.shape == (3, 100) and xf.shape == (3, 4)
+    one, _ = kalman4d_filter(jnp.asarray(z[1]), Kalman4DConfig())
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(one), rtol=1e-4, atol=1e-6)
+
+
+def test_kalman4d_ema_blend():
+    cfg = Kalman4DConfig(ema_blend_period=10.0)
+    z = rng(2).standard_normal(50).astype(np.float32)
+    got, _ = kalman4d_filter(jnp.asarray(z), cfg)
+    base, _ = kalman4d_filter(jnp.asarray(z), Kalman4DConfig())
+    assert not np.allclose(np.asarray(got), np.asarray(base))
+
+
+# ---------------------------------------------------------- kalman weights
+
+
+def kalman_weights_oracle(h, z, cfg):
+    k = h.shape[1]
+    w = np.zeros(k)
+    p = np.full(k, max(1e-6, cfg.init_variance))
+    out = []
+    for t in range(len(z)):
+        p = p + max(1e-9, cfg.q)
+        residual = z[t] - np.sum(h[t] * w)
+        innovation = max(1e-9, cfg.r) + np.sum(h[t] ** 2 * p)
+        if innovation < 1e-9:
+            innovation = cfg.r
+        gain = p * h[t] / innovation
+        w = w + gain * residual
+        p = np.maximum((1 - gain * h[t]) * p, 1e-9)
+        out.append(np.sum(w * h[t]))
+    return np.array(out), w
+
+
+def test_kalman_weights_matches_oracle():
+    cfg = KalmanWeightsConfig()
+    h = rng(3).standard_normal((200, 4))
+    z = rng(4).standard_normal(200)
+    got, wf = kalman_weights_filter(jnp.asarray(h, jnp.float32), jnp.asarray(z, jnp.float32), cfg)
+    want, w_want = kalman_weights_oracle(h, z, cfg)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wf), w_want, rtol=1e-3, atol=1e-4)
+
+
+def test_kalman_weights_learns_stationary_mix():
+    """With persistent basis functions the weights converge to the mix."""
+    t = np.arange(600)
+    h = np.stack([np.sin(2 * np.pi * t / 50), np.sin(2 * np.pi * t / 121 + 1.0)], -1)
+    z = 2.0 * h[:, 0] + 0.5 * h[:, 1]
+    got, wf = kalman_weights_filter(
+        jnp.asarray(h, jnp.float32), jnp.asarray(z, jnp.float32), KalmanWeightsConfig()
+    )
+    np.testing.assert_allclose(np.asarray(wf), [2.0, 0.5], atol=0.05)
+    np.testing.assert_allclose(np.asarray(got)[-100:], z[-100:], atol=0.05)
+
+
+def test_bin_contribution_formula():
+    n = 256
+    x = rng(5).standard_normal(n).astype(np.float32)
+    spec = np.fft.rfft(x.astype(np.float64))[: n // 2]
+    idx = np.array([5, 17])
+    h = bin_contribution(jnp.asarray(spec.astype(np.complex64)), jnp.asarray(idx), n)
+    n0 = n - 1
+    ang = 2 * np.pi * idx * n0 / n
+    want = (2 / n) * (spec[idx].real * np.cos(ang) - spec[idx].imag * np.sin(ang))
+    np.testing.assert_allclose(np.asarray(h), want, rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------------ biquad
+
+
+def biquad_oracle(x, period, bw=0.5):
+    import math
+
+    omega = 2 * np.pi / period
+    bw = min(0.49, max(0.01, bw))
+    alpha = np.sin(omega) * np.sinh(math.log(2) / 2 * bw * omega / np.sin(omega))
+    a0 = 1 + alpha
+    b0, b2 = alpha / a0, -alpha / a0
+    a1, a2 = -2 * np.cos(omega) / a0, (1 - alpha) / a0
+    y = np.zeros_like(x)
+    for i in range(2, len(x)):
+        y[i] = b0 * x[i] + b2 * x[i - 2] - a1 * y[i - 1] - a2 * y[i - 2]
+    return y
+
+
+def test_biquad_matches_sequential_oracle():
+    x = rng(6).standard_normal(400).astype(np.float64)
+    want = biquad_oracle(x, 32.0)
+    got = np.asarray(bandpass_cycle(jnp.asarray(x, jnp.float32), 32.0))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    assert got[0] == 0.0 and got[1] == 0.0
+
+
+def test_biquad_passes_target_period_attenuates_others():
+    t = np.arange(2048)
+    x_in = np.sin(2 * np.pi * t / 64).astype(np.float32)
+    x_out = np.sin(2 * np.pi * t / 16).astype(np.float32)
+    y_in = np.asarray(bandpass_cycle(jnp.asarray(x_in), 64.0))
+    y_out = np.asarray(bandpass_cycle(jnp.asarray(x_out), 64.0))
+    assert np.abs(y_in[500:]).max() > 0.7
+    assert np.abs(y_out[500:]).max() < 0.2
+
+
+def test_biquad_batched_periods():
+    x = rng(7).standard_normal((3, 300)).astype(np.float32)
+    periods = jnp.asarray([20.0, 40.0, 64.0])
+    y = bandpass_cycle(jnp.asarray(x), periods)
+    assert y.shape == (3, 300)
+    one = bandpass_cycle(jnp.asarray(x[1]), 40.0)
+    np.testing.assert_allclose(np.asarray(y[1]), np.asarray(one), rtol=2e-3, atol=1e-4)

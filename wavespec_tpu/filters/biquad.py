@@ -1,0 +1,87 @@
+"""Constant-Q biquad band-pass cycle reconstruction.
+
+Rebuild of `CalculateCycle` (`Legacy/WaveSpecZZ_1.0.3-pla-kalman.mq5:
+2888-2913`, bandwidth input `:805`): an RBJ-style band-pass at each
+dominant period, run recursively over the price series to produce that
+cycle's waveform:
+
+    omega = 2 pi / period,  bw in [0.01, 0.49] octaves
+    alpha = sin(omega) * sinh(ln2/2 * bw * omega / sin(omega))
+    b0 = alpha/a0, b1 = 0, b2 = -alpha/a0
+    a0 = 1 + alpha, a1 = -2 cos(omega)/a0, a2 = (1 - alpha)/a0
+    y[i] = b0 x[i] + b2 x[i-2] - a1 y[i-1] - a2 y[i-2]
+
+TPU formulation: the 2nd-order recurrence is expressed with 2x2 companion
+matrices and evaluated by `jax.lax.associative_scan` — O(log n) depth
+instead of an n-step sequential loop, batched over (series x periods).
+The reference zeroes y for i < 2; we match that boundary.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def biquad_coeffs(period: jax.Array, bandwidth: float = 0.5):
+    """RBJ band-pass coefficients for (possibly batched) periods."""
+    bw = min(0.49, max(0.01, float(bandwidth)))
+    omega = 2.0 * jnp.pi / period
+    sin_w = jnp.sin(omega)
+    alpha = sin_w * jnp.sinh(math.log(2.0) / 2.0 * bw * omega / sin_w)
+    a0 = 1.0 + alpha
+    return (
+        alpha / a0,            # b0
+        -alpha / a0,           # b2 (b1 = 0)
+        -2.0 * jnp.cos(omega) / a0,  # a1
+        (1.0 - alpha) / a0,    # a2
+    )
+
+
+@partial(jax.jit, static_argnames=("bandwidth",))
+def bandpass_cycle(
+    price: jax.Array, period: jax.Array, bandwidth: float = 0.5
+) -> jax.Array:
+    """Band-pass `price` ``[..., t]`` at `period` (scalar or ``[...]``).
+
+    Returns the cycle waveform ``[..., t]``. y[0] = y[1] = 0 per the
+    reference's i < 2 guard.
+    """
+    price = price.astype(jnp.float32)
+    t = price.shape[-1]
+    b0, b2, a1, a2 = biquad_coeffs(jnp.asarray(period, jnp.float32), bandwidth)
+
+    # forcing term u[i] = b0 x[i] + b2 x[i-2]; x[<0] treated as 0
+    x_m2 = jnp.concatenate([jnp.zeros_like(price[..., :2]), price[..., :-2]], axis=-1)
+    u = b0[..., None] * price + b2[..., None] * x_m2
+    # reference zeroes outputs for i < 2 -> zero the forcing there too
+    mask = jnp.arange(t) >= 2
+    u = u * mask
+
+    # state s_i = [y_i, y_{i-1}] = A s_{i-1} + [u_i, 0],
+    # A = [[-a1, -a2], [1, 0]]; associative combine of (M, v) pairs.
+    zeros = jnp.zeros_like(u)
+    ones = jnp.ones_like(u)
+    m = jnp.stack(
+        [
+            jnp.stack([jnp.broadcast_to(-a1[..., None], u.shape),
+                       jnp.broadcast_to(-a2[..., None], u.shape)], axis=-1),
+            jnp.stack([ones, zeros], axis=-1),
+        ],
+        axis=-2,
+    )  # [..., t, 2, 2]
+    v = jnp.stack([u, zeros], axis=-1)  # [..., t, 2]
+
+    def combine(left, right):
+        m_l, v_l = left
+        m_r, v_r = right
+        return (
+            jnp.einsum("...ij,...jk->...ik", m_r, m_l),
+            jnp.einsum("...ij,...j->...i", m_r, v_l) + v_r,
+        )
+
+    _, s = jax.lax.associative_scan(combine, (m, v), axis=-3)
+    return s[..., 0]
