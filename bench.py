@@ -1,0 +1,97 @@
+"""Benchmark harness: windows/sec for the fused 4096-pt extraction pipeline.
+
+Measures the BASELINE.json headline metric — batched 4096-point windowed
+rFFT + power spectrum + in-band top-k (the `gpu_submit_extract_cycles_batch`
+workload, `WaveSpecZZ_1.1.0-gpuopt.mq5:1014-1039`) — on whatever device JAX
+selects (the real TPU chip under the driver).
+
+Timing method: the device may sit behind an async remote runtime where
+`block_until_ready` returns at enqueue time and host transfers measure the
+tunnel, so we time a jitted *dependent chain* of extractions (fori_loop)
+with a single scalar readback, and report (T(1+K) - T(1)) / K.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "windows/s/chip", "vs_baseline": R}
+vs_baseline is measured against the 10k windows/s/chip north star
+(BASELINE.md; the reference publishes no numbers of its own).
+"""
+
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles_batch
+
+    window = 4096
+    n_windows = 4096
+    hop = 16
+    series_len = window + (n_windows - 1) * hop
+
+    cfg = ExtractConfig(
+        window=window,
+        top_k=8,
+        min_period=18.0,
+        max_period=200.0,
+        method=Method.FFT_RIDGE,
+    )
+
+    rng = np.random.default_rng(0)
+    t = np.arange(series_len)
+    series = (
+        np.cumsum(0.02 * rng.standard_normal(series_len))
+        + 2.0 * np.sin(2 * np.pi * t / 50)
+        + 1.0 * np.sin(2 * np.pi * t / 120)
+    ).astype(np.float32)
+    x = jax.device_put(jnp.asarray(series))
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def chain(s, iters: int):
+        def body(_, carry):
+            s, acc = carry
+            attrs = extract_cycles_batch(s, cfg, hop=hop)
+            tot = jnp.sum(attrs[:, 0, 0])
+            return s * (1.0 + 0.0 * tot), acc + tot
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (s, 0.0))
+        return acc
+
+    k = 10
+    # compile both programs
+    float(np.asarray(chain(x, 1)))
+    float(np.asarray(chain(x, 1 + k)))
+
+    def measure(iters):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(chain(x, iters)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = measure(1)
+    t1k = measure(1 + k)
+    per_call = max((t1k - t1) / k, 1e-9)
+
+    wps = n_windows / per_call
+    north_star = 10_000.0
+    print(
+        json.dumps(
+            {
+                "metric": "4096pt_rfft_spectrum_topk_windows_per_sec_per_chip",
+                "value": round(wps, 1),
+                "unit": "windows/s/chip",
+                "vs_baseline": round(wps / north_star, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Mesh sharding tests on the 8-virtual-CPU-device mesh (v5e-8 stand-in)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles_batch
+from wavespec_tpu.mesh import (
+    MixMode,
+    auto_overlap,
+    extract_batch_sharded,
+    fft_segmented,
+    fft_segmented_sharded,
+    make_mesh,
+    num_segments,
+    pipeline_step_sharded,
+    shard_series_batch,
+)
+from wavespec_tpu.reconstruct import ReconstructConfig
+
+
+def make_batch(s=8, t=1280, seed=0):
+    r = np.random.default_rng(seed)
+    tt = np.arange(t)
+    periods = r.uniform(20, 180, size=s)
+    x = np.sin(2 * np.pi * tt[None, :] / periods[:, None])
+    x = x + 0.05 * r.standard_normal((s, t))
+    return x.astype(np.float32), periods
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"data": 4, "window": 2})
+    assert mesh.shape == {"data": 4, "window": 2}
+    assert len(jax.devices()) == 8
+
+
+def test_extract_batch_sharded_matches_local():
+    cfg = ExtractConfig(window=1024, top_k=2, min_period=10.0, max_period=200.0,
+                        method=Method.FFT_RIDGE)
+    x, _ = make_batch(s=8, t=1280)
+    mesh = make_mesh({"data": 8})
+    xb = shard_series_batch(jnp.asarray(x), mesh)
+    out = np.asarray(extract_batch_sharded(xb, cfg, hop=64, mesh=mesh))
+    # local reference
+    local = np.stack(
+        [np.asarray(extract_cycles_batch(jnp.asarray(x[i]), cfg, hop=64)) for i in range(8)]
+    )
+    np.testing.assert_allclose(out, local, rtol=2e-3, atol=1e-3)
+
+
+def test_pipeline_step_sharded_runs():
+    ecfg = ExtractConfig(window=1024, top_k=2, min_period=10.0, max_period=200.0,
+                         method=Method.FFT_RIDGE)
+    rcfg = ReconstructConfig(music_only=False)
+    x, _ = make_batch(s=8, t=1152)
+    mesh = make_mesh({"data": 8})
+    attrs, waves = pipeline_step_sharded(
+        shard_series_batch(jnp.asarray(x), mesh), mesh=mesh, ecfg=ecfg, rcfg=rcfg, hop=64
+    )
+    nwin = 1 + (1152 - 1024) // 64
+    assert attrs.shape == (8, nwin, 2, 15)
+    assert waves.shape == (8, nwin, 2)
+    assert np.isfinite(np.asarray(waves)).all()
+
+
+# ------------------------------------------------------------- segmented
+
+
+def test_num_segments_formula():
+    assert num_segments(32768, 16384, 4096) == 1 + (32768 - 16384) // (16384 - 4096)
+    assert auto_overlap(16384, 0.25) == 4096
+    with pytest.raises(ValueError):
+        num_segments(1024, 512, 512)
+
+
+def test_segmented_energy_is_welch_mean():
+    n, seg, ov = 4096, 1024, 256
+    x = np.random.default_rng(1).standard_normal(n).astype(np.float32)
+    got = np.asarray(fft_segmented(jnp.asarray(x), seg, ov, MixMode.ENERGY))
+    hop = seg - ov
+    nseg = 1 + (n - seg) // hop
+    specs = np.stack(
+        [np.abs(np.fft.rfft(x[i * hop : i * hop + seg].astype(np.float64))[: seg // 2]) ** 2
+         for i in range(nseg)]
+    )
+    np.testing.assert_allclose(got, specs.mean(0), rtol=1e-3, atol=1e-2)
+
+
+def test_segmented_finds_long_cycle():
+    n, seg = 32768, 8192
+    t = np.arange(n)
+    x = np.sin(2 * np.pi * t / 1000).astype(np.float32)
+    power = np.asarray(fft_segmented(jnp.asarray(x), seg, auto_overlap(seg), MixMode.ENERGY))
+    assert power.argmax() == round(seg / 1000)
+
+
+def test_segmented_sharded_matches_single_device():
+    n, seg, ov = 8192, 1024, 0   # 8 segments over 8 chips
+    x = np.random.default_rng(2).standard_normal(n).astype(np.float32)
+    mesh = make_mesh({"window": 8})
+    got = np.asarray(
+        fft_segmented_sharded(jnp.asarray(x), mesh, axis="window",
+                              segment_len=seg, overlap=ov, mix_mode=MixMode.ENERGY)
+    )
+    want = np.asarray(fft_segmented(jnp.asarray(x), seg, ov, MixMode.ENERGY))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_segmented_sharded_max_mode():
+    n, seg = 8192, 1024
+    x = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+    mesh = make_mesh({"window": 4})
+    got = np.asarray(
+        fft_segmented_sharded(jnp.asarray(x), mesh, axis="window",
+                              segment_len=seg, overlap=0, mix_mode=MixMode.MAX)
+    )
+    want = np.asarray(fft_segmented(jnp.asarray(x), seg, 0, MixMode.MAX))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)

@@ -59,7 +59,9 @@ def jacobi_eigh(a: jax.Array, sweeps: int = 8):
         vecs = jnp.einsum("bij,bjk->bik", vecs, rot, precision=jax.lax.Precision.HIGHEST)
         return mat, vecs
 
-    vecs0 = jnp.broadcast_to(eye, (b, m, m))
+    # Derive the identity init from `a` (zeros_like keeps `a`'s varying
+    # manual axes, so the fori_loop carry types match under shard_map).
+    vecs0 = jnp.zeros_like(a) + eye
     mat, vecs = jax.lax.fori_loop(
         0, sweeps * n_pairs, lambda i, s: rotate(i % n_pairs, s), (a, vecs0)
     )

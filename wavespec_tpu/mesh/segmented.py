@@ -1,0 +1,123 @@
+"""Segmented long-window FFT (`gpu_wave_fft_segmented` rebuild).
+
+Reference contract (`Legacy/WaveSpecZZ_gpu_cycles.mq5:13,34`,
+`Legacy/WaveSpecZZ_gpu_wip.mq5:32-38`): a long analysis window (up to
+262144 samples) is split into `segment_len` chunks overlapped by `overlap`
+samples, each segment gets its own rFFT, and the per-segment spectra are
+mixed — mix_mode 0 = ENERGY (the Welch average of power spectra). The
+closed DLL supports auto-tuned overlap (25% default).
+
+This is the reference's only long-context/sequence-parallel axis
+(SURVEY §2.4/§5): the TPU-native mapping shards the *segment* axis across
+chips with `shard_map`, computes local MXU rFFTs, and combines with a
+`psum` over the mesh axis — ICI traffic is one [segment_len/2] vector per
+chip instead of the raw window.
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from wavespec_tpu.kernels.mxu_fft import rfft_mxu
+
+
+class MixMode(enum.IntEnum):
+    """Segment mix modes (0 = energy, `gpu_cycles.mq5:34`)."""
+
+    ENERGY = 0     # Welch: mean of per-segment power spectra
+    COHERENT = 1   # mean of complex spectra (phase-aligned content survives)
+    MAX = 2        # per-bin max power across segments
+
+
+def num_segments(n: int, segment_len: int, overlap: int) -> int:
+    hop = segment_len - overlap
+    if hop <= 0:
+        raise ValueError(f"overlap {overlap} must be < segment_len {segment_len}")
+    return 1 + (n - segment_len) // hop
+
+
+def split_segments(series: jax.Array, segment_len: int, overlap: int) -> jax.Array:
+    """``[..., n]`` -> ``[..., nseg, segment_len]`` strided windows."""
+    n = series.shape[-1]
+    nseg = num_segments(n, segment_len, overlap)
+    hop = segment_len - overlap
+    starts = jnp.arange(nseg) * hop
+    idx = starts[:, None] + jnp.arange(segment_len)[None, :]
+    return jnp.take(series, idx, axis=-1)
+
+
+def _mix(spec: jax.Array, mode: MixMode, axis: int):
+    if mode == MixMode.ENERGY:
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+        return jnp.mean(power, axis=axis)
+    if mode == MixMode.COHERENT:
+        return jnp.mean(spec, axis=axis)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return jnp.max(power, axis=axis)
+
+
+@partial(jax.jit, static_argnames=("segment_len", "overlap", "mix_mode"))
+def fft_segmented(
+    series: jax.Array,
+    segment_len: int = 16384,
+    overlap: int = 4096,
+    mix_mode: MixMode = MixMode.ENERGY,
+) -> jax.Array:
+    """Single-device segmented rFFT + mix over the last axis.
+
+    Returns ``[..., segment_len//2]`` — power for ENERGY/MAX, complex for
+    COHERENT (the bridge's `out_len` analog is the bin count).
+    """
+    segs = split_segments(series.astype(jnp.float32), segment_len, overlap)
+    spec = rfft_mxu(segs)
+    return _mix(spec, MixMode(mix_mode), axis=-2)
+
+
+def auto_overlap(segment_len: int, overlap_pct: float = 0.25) -> int:
+    """`InpSegmentAutoTune` behavior: overlap = pct * segment_len
+    (`gpu_wip.mq5:35-38`)."""
+    return int(segment_len * overlap_pct)
+
+
+def fft_segmented_sharded(
+    series: jax.Array,
+    mesh: jax.sharding.Mesh,
+    *,
+    axis: str = "window",
+    segment_len: int = 16384,
+    overlap: int = 4096,
+    mix_mode: MixMode = MixMode.ENERGY,
+) -> jax.Array:
+    """Mesh-sharded segmented rFFT: segments split across `axis` chips.
+
+    The segment count must be divisible by the mesh axis size. Each chip
+    runs its local MXU rFFTs and the ENERGY/COHERENT mix is completed with
+    a `psum` mean over ICI; MAX uses `pmax`.
+    """
+    mode = MixMode(mix_mode)
+    n_chips = mesh.shape[axis]
+    segs = split_segments(series.astype(jnp.float32), segment_len, overlap)
+    nseg = segs.shape[-2]
+    if nseg % n_chips:
+        raise ValueError(f"nseg {nseg} not divisible by mesh axis {axis}={n_chips}")
+
+    def local(seg_block):
+        spec = rfft_mxu(seg_block)
+        if mode == MixMode.MAX:
+            power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+            return jax.lax.pmax(jnp.max(power, axis=-2), axis)
+        local_mix = _mix(spec, mode, axis=-2)
+        return jax.lax.pmean(local_mix, axis)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(*([None] * (segs.ndim - 2)), axis, None),
+        out_specs=P(*([None] * (segs.ndim - 2)), None),
+    )
+    return shard(segs)
