@@ -1,0 +1,119 @@
+"""Tracker / stable-slot / leakage state machine tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from wavespec_tpu.analyze.trackers import TrackerConfig, track_frames
+
+
+def frames_from_lists(frames, j=8):
+    """frames: list of lists of (period, power) tuples."""
+    t = len(frames)
+    periods = np.zeros((t, j), np.float32)
+    powers = np.zeros((t, j), np.float32)
+    fft = np.zeros((t, j), np.int32)
+    valid = np.zeros((t, j), bool)
+    for ti, cands in enumerate(frames):
+        for ji, (p, w) in enumerate(cands):
+            periods[ti, ji] = p
+            powers[ti, ji] = w
+            fft[ti, ji] = int(4096 / max(p, 1))
+            valid[ti, ji] = True
+    return jnp.asarray(periods), jnp.asarray(powers), jnp.asarray(fft), jnp.asarray(valid)
+
+
+def run(frames, **cfg_kw):
+    cfg = TrackerConfig(**cfg_kw)
+    out, state = track_frames(*frames_from_lists(frames), cfg=cfg)
+    return {k: np.asarray(v) for k, v in out.items()}, state
+
+
+def test_tracker_persistence_and_slot_stability():
+    # two cycles persist over frames with slight period drift
+    frames = [
+        [(64.0, 10.0), (30.0, 5.0)],
+        [(64.5, 11.0), (30.2, 6.0)],
+        [(63.8, 12.0), (29.9, 7.0)],
+    ]
+    out, _ = run(frames)
+    # slot 0 holds the strongest (64-period) tracker every frame, same uid
+    assert out["slot_valid"][:, 0].all() and out["slot_valid"][:, 1].all()
+    np.testing.assert_allclose(out["slot_period"][:, 0], [64.0, 64.5, 63.8])
+    np.testing.assert_allclose(out["slot_period"][:, 1], [30.0, 30.2, 29.9])
+    assert len(set(out["slot_uid"][:, 0])) == 1  # identity preserved
+    assert len(set(out["slot_uid"][:, 1])) == 1
+
+
+def test_tolerance_split_creates_new_tracker():
+    # 30 -> 40 exceeds 5% tolerance: the 30-tracker stays in slot 0 (alive
+    # until max_inactive) and 40 becomes a NEW tracker in the next slot.
+    frames = [[(30.0, 5.0)], [(40.0, 5.0)]]
+    out, _ = run(frames)
+    np.testing.assert_allclose(out["slot_period"][1, 0], 30.0)
+    np.testing.assert_allclose(out["slot_period"][1, 1], 40.0)
+    assert out["slot_uid"][1, 1] != out["slot_uid"][0, 0]
+
+
+def test_absent_tracker_is_not_rematched():
+    """Reference semantics: FindClosestTracker skips trackers with
+    bars_inactive > 0, so a cycle that misses one frame re-enters as a NEW
+    tracker; the old one holds its slot until max_inactive kills it."""
+    frames = [[(64.0, 10.0)], [], [(64.0, 10.0)]]
+    out, _ = run(frames)
+    # old tracker still holds slot 0 at frame 1-2 (alive, inactive)
+    assert out["slot_uid"][1, 0] == out["slot_uid"][0, 0]
+    # returning candidate created a second tracker in slot 1
+    assert out["slot_valid"][2, 1]
+    assert out["slot_uid"][2, 1] != out["slot_uid"][0, 0]
+
+
+def test_tracker_dies_after_max_inactive():
+    frames = [[(64.0, 10.0)], [], [], [], [(64.0, 10.0)]]
+    out, _ = run(frames)
+    assert not out["slot_valid"][3, 0]  # dead by frame 3
+    assert out["slot_uid"][0, 0] != out["slot_uid"][4, 0]  # re-added = new id
+
+
+def test_slot_no_reorder_on_power_flip():
+    """No-repaint policy: a slot keeps its tracker even when another
+    becomes stronger (`UpdateStableSlots` keeps existing mappings)."""
+    frames = [
+        [(64.0, 10.0), (30.0, 5.0)],
+        [(64.0, 4.0), (30.0, 20.0)],  # power flips
+    ]
+    out, _ = run(frames)
+    np.testing.assert_allclose(out["slot_period"][:, 0], [64.0, 64.0])
+    np.testing.assert_allclose(out["slot_period"][:, 1], [30.0, 30.0])
+
+
+def test_leak_detection_and_expiry():
+    # main cycle period 100; intruder period 20 (< 30%) with power 90 (>= 70%)
+    frames = [[(100.0, 10.0)]] * 2 + [[(100.0, 10.0), (20.0, 9.5)]] * 3 \
+        + [[(100.0, 10.0)]] * 2
+    out, _ = run(frames)
+    assert not out["leak_active"][1, 0]
+    assert out["leak_active"][2, 0]
+    np.testing.assert_allclose(out["leak_period"][2, 0], 20.0)
+    assert out["leak_active"][4, 0]
+    assert not out["leak_active"][5, 0]  # intruder gone -> leak cleared
+
+
+def test_leak_requires_power_ratio():
+    frames = [[(100.0, 10.0), (20.0, 2.0)]] * 3  # power 20% < 70% ratio
+    out, _ = run(frames)
+    assert not out["leak_active"].any()
+
+
+def test_leak_persistent_intruder_stays_flagged():
+    """Reference `DetectLeakages`: an expired leak is immediately
+    re-triggered in the same bar while the intruder persists, so a
+    continuous intruder keeps the flag set (only the bar counter resets)."""
+    frames = [[(100.0, 10.0), (20.0, 9.5)]] * 12
+    out, _ = run(frames, leak_max_bars=8)
+    assert out["leak_active"][2:, 0].all()
+
+
+def test_capacity_overflow_drops_extra():
+    frames = [[(20.0 + i, 1.0 + i) for i in range(6)]]
+    out, state = run(frames, capacity=4)
+    assert int(np.asarray(state.alive).sum()) == 4

@@ -1,0 +1,262 @@
+"""ETA-to-next-extremum estimators and the per-cycle ETA/state machine.
+
+Rebuild of the v7.57 ETA system (`Legacy/WaveSpecZZ_1.0.3-pla-kalman.mq5`):
+- `ComputeETA_PhaseNextExtremum` (`:1330-1358`): instantaneous phase from
+  I/Q with a quarter-period delayed Q, distance to the next multiple of pi;
+- `ComputeETA_RealFFT` (`:1366-1406`): group delay -dphi/domega at the
+  dominant bin, clamped to 1.5x period;
+- `CalculateScientificETASeconds` (`:1293-1323`): (1-progress) *
+  phase_length + 0.25 * clamped group delay;
+- asymmetric phase-duration learning (`StorePhaseHistory` /
+  `GetMedianPhaseDuration` / `EstimatePhaseDuration` /
+  `CountBarsInCurrentPhase` `:2922-3033`): rolling 5-deep bull/bear
+  duration history with median estimator and fallback chain
+  (cached -> median -> opposite median -> period -> bars), clamp 2x period;
+- `UpdateCycleEtaAndState` (`:3038-3154`): hybrid blend 0.5 structural /
+  0.35 history / 0.15 scientific, monotonic countdown constraint
+  (eta may not exceed prev - 1 bar within a phase), bull/bear sign, and
+  display floor of +1 for bullish.
+
+TPU formulation: one `lax.scan` over bars per slot (vmapped over slots);
+the quarter-period lag is served from a fixed-size ring buffer carried
+through the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+class EtaMode(enum.IntEnum):
+    PHASE_NEXT_EXTREMUM = 0
+    REALFFT = 1
+    HYBRID = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class EtaConfig:
+    mode: EtaMode = EtaMode.PHASE_NEXT_EXTREMUM
+    seconds_per_bar: float = 60.0
+    lag_buffer: int = 64   # ring capacity for the quarter-period lag
+    fft_window: int = 4096
+
+
+def eta_phase_next_extremum(value_now, value_lagged, period_bars, seconds_per_bar):
+    """I/Q instantaneous-phase ETA (seconds). value_lagged ~ 90 deg shift."""
+    phi = jnp.arctan2(value_lagged, value_now)
+    phi = jnp.where(phi < 0, phi + 2.0 * jnp.pi, phi)
+    target = jnp.ceil(phi / jnp.pi) * jnp.pi
+    dphi = target - phi
+    period_seconds = period_bars * seconds_per_bar
+    eta = dphi / (2.0 * jnp.pi) * period_seconds
+    eta = jnp.clip(eta, 0.0, 1.5 * period_seconds)
+    return jnp.where(period_bars > 0, eta, 0.0)
+
+
+def eta_realfft(group_delay_bars, period_bars, seconds_per_bar):
+    """Group-delay ETA (seconds): |tau_g| clamped to 1.5x period."""
+    max_bars = 1.5 * period_bars
+    tau = jnp.clip(group_delay_bars, -max_bars, max_bars)
+    eta = jnp.abs(tau) * seconds_per_bar
+    return jnp.where(period_bars > 0, jnp.minimum(eta, max_bars * seconds_per_bar), 0.0)
+
+
+def eta_scientific(group_delay_bars, phase_length_seconds, progress, seconds_per_bar):
+    """(1 - progress) * phase_length + 0.25 * clamped group delay."""
+    progress = jnp.clip(progress, 0.0, 1.0)
+    base = (1.0 - progress) * phase_length_seconds
+    gd_sec = group_delay_bars * seconds_per_bar
+    max_adj = phase_length_seconds * 0.25
+    gd_sec = jnp.clip(gd_sec, -max_adj, max_adj)
+    eta = base + 0.25 * gd_sec
+    eta = jnp.clip(eta, 0.0, phase_length_seconds * 1.5)
+    return jnp.where(phase_length_seconds > 0, eta, 0.0)
+
+
+def _masked_median_int(hist):
+    """Median of the non-zero entries of a 5-vector, reference style:
+    sorted ascending, element at index count//2; 0 when empty."""
+    valid = hist > 0
+    count = jnp.sum(valid.astype(jnp.int32))
+    sort = jnp.sort(jnp.where(valid, hist, jnp.iinfo(jnp.int32).max))
+    idx = jnp.clip(count // 2, 0, hist.shape[0] - 1)
+    med = sort[idx]
+    return jnp.where(count > 0, med, 0)
+
+
+def _estimate_phase_duration(estimate_cached, hist_same, hist_opp, period, bars_completed):
+    """`EstimatePhaseDuration` fallback chain + clamps."""
+    est = estimate_cached
+    med = _masked_median_int(hist_same).astype(jnp.float32)
+    est = jnp.where(est <= 0.0, med, est)
+    med_opp = _masked_median_int(hist_opp).astype(jnp.float32)
+    est = jnp.where(est <= 0.0, med_opp, est)
+    est = jnp.where((est <= 0.0) & (period > 0), period, est)
+    est = jnp.where(est <= 0.0, jnp.maximum(1.0, bars_completed), est)
+    est = jnp.where((period > 0) & (est > 2.0 * period), 2.0 * period, est)
+    est = jnp.maximum(est, bars_completed)
+    return jnp.maximum(est, 1.0)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def eta_state_machine(
+    cycle_values: jax.Array,   # [..., t] per-slot cycle waveform (biquad)
+    periods: jax.Array,        # [..., t] slot period per bar (bars)
+    group_delay: jax.Array,    # [..., t] group delay at the slot's bin (bars)
+    cfg: EtaConfig = EtaConfig(),
+):
+    """Run `UpdateCycleEtaAndState` over bars.
+
+    Returns dict of [..., t]: color (1 bull / 0 bear), eta_display (signed
+    bars, bullish floored at +1), eta_raw (signed bars), eta_seconds.
+    """
+    spb = cfg.seconds_per_bar
+    lag_cap = cfg.lag_buffer
+
+    def single(vals, pers, gds):
+        t_len = vals.shape[0]
+
+        def step(carry, xs):
+            (color_prev, bars_in_phase, last_eta, bull_hist, bear_hist,
+             est_cache, ring, tpos) = carry
+            v, v_prev, period, gd, is_first = xs
+
+            start_bullish = v >= 0.0
+            is_bullish = jnp.where(is_first, start_bullish, v >= v_prev)
+            color = jnp.where(is_bullish, 1.0, 0.0)
+            color_changed = (~is_first) & (color != color_prev)
+
+            # CountBarsInCurrentPhase: incremental (current bar inclusive)
+            bars_now = jnp.where(color_changed | is_first, 1, bars_in_phase + 1)
+
+            # quarter-period lag from the ring buffer
+            q = jnp.clip(jnp.maximum(1.0, jnp.round(period / 4.0)).astype(jnp.int32),
+                         1, lag_cap - 1)
+            lag_idx = jnp.mod(tpos - q, lag_cap)
+            v_lag = ring[lag_idx]
+            lag_ok = tpos >= q
+
+            # --- estimators ---
+            eta_phase = jnp.where(
+                lag_ok, eta_phase_next_extremum(v, v_lag, period, spb), 0.0
+            )
+            eta_gd = eta_realfft(gd, period, spb)
+
+            hist_same = jnp.where(is_bullish, bull_hist, bear_hist)
+            hist_opp = jnp.where(is_bullish, bear_hist, bull_hist)
+            est_cached = jnp.where(is_bullish, est_cache[0], est_cache[1])
+            target_bars = _estimate_phase_duration(
+                est_cached, hist_same, hist_opp, period, bars_now.astype(jnp.float32)
+            )
+            target_sec = target_bars * spb
+            elapsed_sec = bars_now.astype(jnp.float32) * spb
+            progress = jnp.where(target_sec > 0, jnp.minimum(1.0, elapsed_sec / target_sec), 0.0)
+            eta_sci = eta_scientific(gd, target_sec, progress, spb)
+            med_same = _masked_median_int(hist_same).astype(jnp.float32)
+            eta_struct = jnp.maximum(0.0, target_sec - elapsed_sec)
+            eta_hist = jnp.maximum(0.0, med_same * spb - elapsed_sec)
+
+            # hybrid blend 0.5 / 0.35 / 0.15 with availability weights
+            w_struct = jnp.where(target_sec > 0, 0.5, 0.0)
+            w_hist = jnp.where(med_same > 0, 0.35, 0.0)
+            w_sci = jnp.where(eta_sci > 0, 0.15, 0.0)
+            wsum = w_struct + w_hist + w_sci
+            eta_hybrid = jnp.where(
+                wsum > 0,
+                (eta_struct * w_struct + eta_hist * w_hist + eta_sci * w_sci) / jnp.maximum(wsum, 1e-9),
+                eta_struct,
+            )
+            max_ref = jnp.maximum(jnp.maximum(target_sec, med_same * spb), period * spb)
+            max_ref = jnp.where(max_ref <= 0, spb, max_ref)
+            eta_hybrid = jnp.clip(eta_hybrid, 0.0, 1.5 * max_ref)
+
+            if cfg.mode == EtaMode.PHASE_NEXT_EXTREMUM:
+                eta_sec = eta_phase
+            elif cfg.mode == EtaMode.REALFFT:
+                eta_sec = eta_gd
+            else:
+                eta_sec = eta_hybrid
+            eta_sec = jnp.where(period > 0, eta_sec, 0.0)
+
+            # --- phase-history learning on color change ---
+            prev_dur = bars_in_phase  # duration of the phase that just ended
+            was_bullish = color_prev > 0.5
+            store_bull = color_changed & was_bullish
+            store_bear = color_changed & ~was_bullish
+            bull_hist = jnp.where(
+                store_bull, jnp.concatenate([prev_dur[None], bull_hist[:-1]]), bull_hist
+            )
+            bear_hist = jnp.where(
+                store_bear, jnp.concatenate([prev_dur[None], bear_hist[:-1]]), bear_hist
+            )
+            est_cache = jnp.where(
+                store_bull,
+                est_cache.at[0].set(prev_dur.astype(jnp.float32)),
+                jnp.where(
+                    store_bear,
+                    est_cache.at[1].set(prev_dur.astype(jnp.float32)),
+                    est_cache,
+                ),
+            )
+
+            # monotonic countdown within a phase
+            expected = jnp.maximum(0.0, last_eta - spb)
+            eta_sec = jnp.where(
+                (~color_changed) & (~is_first) & (last_eta > 0.0),
+                jnp.minimum(eta_sec, expected),
+                eta_sec,
+            )
+            eta_sec = jnp.where(period > 0, eta_sec, 0.0)
+            eta_sec = jnp.where(is_first, 0.0, eta_sec)  # `:3049-3056`
+
+            eta_bars = eta_sec / spb
+            eta_signed = jnp.where(color > 0.5, eta_bars, -eta_bars)
+            eta_display = jnp.where(
+                (color > 0.5) & (eta_signed >= 0.0) & (eta_signed < 1.0),
+                1.0,
+                eta_signed,
+            )
+            eta_display = jnp.where(period > 0, eta_display, 0.0)
+            eta_raw = jnp.where(period > 0, eta_signed, 0.0)
+
+            ring = ring.at[jnp.mod(tpos, lag_cap)].set(v)
+            carry = (color, bars_now, eta_sec, bull_hist, bear_hist,
+                     est_cache, ring, tpos + 1)
+            return carry, (color, eta_display, eta_raw, eta_sec)
+
+        v_prev = jnp.concatenate([vals[:1], vals[:-1]])
+        is_first = jnp.arange(t_len) == 0
+        init = (
+            jnp.asarray(0.0, jnp.float32),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0.0, jnp.float32),
+            jnp.zeros(5, jnp.int32),
+            jnp.zeros(5, jnp.int32),
+            jnp.zeros(2, jnp.float32),
+            jnp.zeros(lag_cap, jnp.float32),
+            jnp.asarray(0, jnp.int32),
+        )
+        _, (color, eta_display, eta_raw, eta_sec) = jax.lax.scan(
+            step, init, (vals, v_prev, pers, gds, is_first)
+        )
+        return color, eta_display, eta_raw, eta_sec
+
+    fn = single
+    for _ in range(cycle_values.ndim - 1):
+        fn = jax.vmap(fn)
+    color, eta_display, eta_raw, eta_sec = fn(
+        cycle_values.astype(jnp.float32),
+        periods.astype(jnp.float32),
+        group_delay.astype(jnp.float32),
+    )
+    return {
+        "color": color,
+        "eta_display": eta_display,
+        "eta_raw": eta_raw,
+        "eta_seconds": eta_sec,
+    }

@@ -1,0 +1,277 @@
+"""Persistent period trackers, stable slots, and leakage detection.
+
+Rebuild of the v7.57 tracking system
+(`Legacy/WaveSpecZZ_1.0.3-pla-kalman.mq5`):
+- `IsSamePeriod`/`FindClosestTracker`/`UpdateTracker`/`AddTracker`/
+  `DeactivateUnseenTrackers` (`:1415-1530`): identity-preserving trackers
+  matched by period within a % tolerance (default 5%), deactivated after
+  `max_inactive` (3) unseen frames;
+- `UpdateStableSlots` (`:1581-1667`): 12 display slots that KEEP their
+  tracker while it lives and fill free slots with the strongest unused
+  trackers (the no-repaint slot policy, `1.0.2.mq5:15-17`);
+- `IsLeakage`/`DetectLeakages` (`:1677-1782`): per-slot transient-intruder
+  flags (candidate period < leak_period_ratio x main, power >=
+  leak_power_ratio x main, recent), expiring after leak_max_bars.
+
+TPU formulation: the reference mutates a dynamically-sized tracker array
+per bar; here the state is a fixed-capacity struct-of-arrays advanced by a
+`lax.scan` over frames. Dead capacity rows are reused; identity is a
+monotonically increasing uid so tests can assert slots never silently
+swap trackers. One deliberate divergence: the reference matches
+candidates sequentially (later candidates see earlier updates within the
+same frame); we match all candidates against the frame-start tracker
+state and resolve conflicts by smallest period difference — same
+steady-state behavior, order-free and vectorizable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Defaults = reference inputs (`:985-986`, `:1059-1062`)."""
+
+    capacity: int = 64
+    n_slots: int = 12
+    tolerance_pct: float = 5.0
+    max_inactive: int = 3
+    leak_period_ratio: float = 0.30
+    leak_power_ratio: float = 0.70
+    leak_min_bars: int = 2
+    leak_max_bars: int = 8
+
+
+class TrackerState(NamedTuple):
+    period: jax.Array        # [C] f32
+    fft_index: jax.Array     # [C] i32
+    power: jax.Array         # [C] f32
+    alive: jax.Array         # [C] bool
+    seen_now: jax.Array      # [C] bool (is_active this frame)
+    bars_inactive: jax.Array # [C] i32
+    uid: jax.Array           # [C] i32 (0 = never used)
+    next_uid: jax.Array      # scalar i32
+    slot_uid: jax.Array      # [S] i32 (0 = free) — slot keeps its tracker by uid
+    leak_active: jax.Array   # [S] bool
+    leak_uid: jax.Array      # [S] i32
+    leak_bars: jax.Array     # [S] i32
+
+
+def init_state(cfg: TrackerConfig) -> TrackerState:
+    c, s = cfg.capacity, cfg.n_slots
+    return TrackerState(
+        period=jnp.zeros(c, jnp.float32),
+        fft_index=jnp.zeros(c, jnp.int32),
+        power=jnp.zeros(c, jnp.float32),
+        alive=jnp.zeros(c, bool),
+        seen_now=jnp.zeros(c, bool),
+        bars_inactive=jnp.zeros(c, jnp.int32),
+        uid=jnp.zeros(c, jnp.int32),
+        next_uid=jnp.asarray(1, jnp.int32),
+        slot_uid=jnp.zeros(s, jnp.int32),
+        leak_active=jnp.zeros(s, bool),
+        leak_uid=jnp.zeros(s, jnp.int32),
+        leak_bars=jnp.zeros(s, jnp.int32),
+    )
+
+
+def _match_candidates(state: TrackerState, cand_period, cand_valid, cfg):
+    """Candidate->tracker matching (tolerance + closest-period)."""
+    # eligibility: tracker alive and active now (bars_inactive == 0)
+    eligible = state.alive & (state.bars_inactive == 0)
+    diff = jnp.abs(cand_period[:, None] - state.period[None, :])          # [J, C]
+    avg = 0.5 * (cand_period[:, None] + state.period[None, :])
+    pct = jnp.where(avg > 0, diff / jnp.maximum(avg, 1e-30) * 100.0, BIG)
+    ok = (
+        cand_valid[:, None]
+        & eligible[None, :]
+        & (cand_period[:, None] > 0)
+        & (state.period[None, :] > 0)
+        & (pct <= cfg.tolerance_pct)
+    )
+    cost = jnp.where(ok, diff, BIG)
+    best_trk = jnp.argmin(cost, axis=1)                                    # [J]
+    best_cost = jnp.min(cost, axis=1)
+    has_match = best_cost < BIG
+    # conflict resolution: per tracker keep the candidate with min diff
+    j_cost = jnp.where(
+        has_match[:, None]
+        & (best_trk[:, None] == jnp.arange(state.period.shape[0])[None, :]),
+        best_cost[:, None],
+        BIG,
+    )                                                                       # [J, C]
+    winner_j = jnp.argmin(j_cost, axis=0)                                   # [C]
+    trk_matched = jnp.min(j_cost, axis=0) < BIG                             # [C]
+    cand_won = has_match & (winner_j[best_trk] == jnp.arange(cand_period.shape[0]))
+    return trk_matched, winner_j, cand_won
+
+
+def tracker_step(state: TrackerState, frame, cfg: TrackerConfig):
+    """Advance one frame. frame = (periods [J], powers [J], fft_idx [J],
+    valid [J]). Returns (new_state, slot_outputs dict)."""
+    cand_period, cand_power, cand_fft, cand_valid = frame
+    c = cfg.capacity
+    j = cand_period.shape[0]
+
+    trk_matched, winner_j, cand_won = _match_candidates(
+        state, cand_period, cand_valid, cfg
+    )
+
+    # --- update matched trackers with their winning candidate ---
+    period = jnp.where(trk_matched, cand_period[winner_j], state.period)
+    power = jnp.where(trk_matched, cand_power[winner_j], state.power)
+    fft_index = jnp.where(trk_matched, cand_fft[winner_j], state.fft_index)
+    seen = trk_matched
+
+    # --- allocate unmatched candidates into dead capacity rows ---
+    unmatched = cand_valid & ~cand_won
+    dead = ~state.alive
+    # nth unmatched candidate -> nth dead row
+    cand_rank = jnp.cumsum(unmatched.astype(jnp.int32)) - 1      # [J]
+    dead_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1           # [C]
+    # row_for_rank[r] = index of the r-th dead row
+    row_ids = jnp.where(dead, dead_rank, c + 1)
+    # scatter: build [C] updates from candidates
+    take = jnp.zeros(c, jnp.int32) - 1
+    cand_ids = jnp.arange(j, dtype=jnp.int32)
+    # for each dead row with rank r, find candidate with rank r (if any)
+    cand_of_rank = jnp.full(j + 1, -1, jnp.int32)
+    cand_of_rank = cand_of_rank.at[
+        jnp.where(unmatched, cand_rank, j)
+    ].set(jnp.where(unmatched, cand_ids, -1))
+    take = jnp.where(
+        dead & (dead_rank < jnp.sum(unmatched)),
+        cand_of_rank[jnp.clip(dead_rank, 0, j - 1)],
+        -1,
+    )
+    is_new = take >= 0
+    take_c = jnp.clip(take, 0, j - 1)
+    period = jnp.where(is_new, cand_period[take_c], period)
+    power = jnp.where(is_new, cand_power[take_c], power)
+    fft_index = jnp.where(is_new, cand_fft[take_c], fft_index)
+    seen = seen | is_new
+    uid = jnp.where(
+        is_new, state.next_uid + jnp.cumsum(is_new.astype(jnp.int32)) - 1, state.uid
+    )
+    next_uid = state.next_uid + jnp.sum(is_new.astype(jnp.int32))
+    alive = state.alive | is_new
+
+    # --- deactivate unseen; kill after max_inactive ---
+    bars_inactive = jnp.where(seen, 0, state.bars_inactive + 1)
+    killed = alive & ~seen & (bars_inactive >= cfg.max_inactive)
+    alive = alive & ~killed
+
+    # --- stable slot assignment ---
+    s = cfg.n_slots
+    # a slot keeps its uid while that tracker is alive
+    uid_alive = jnp.where(alive, uid, 0)
+    slot_uid = state.slot_uid
+    slot_keep = jnp.zeros(s, bool)
+    slot_row = jnp.zeros(s, jnp.int32) - 1
+    for si in range(s):
+        hit = jnp.where((uid_alive == slot_uid[si]) & (slot_uid[si] > 0),
+                        jnp.arange(c), c)
+        row = jnp.min(hit)
+        found = row < c
+        slot_keep = slot_keep.at[si].set(found)
+        slot_row = slot_row.at[si].set(jnp.where(found, row, -1))
+    slot_uid = jnp.where(slot_keep, slot_uid, 0)
+
+    used = jnp.zeros(c, bool)
+    for si in range(s):
+        used = used | ((jnp.arange(c) == slot_row[si]) & slot_keep[si])
+    # fill free slots with strongest unused alive trackers, strongest first
+    for si in range(s):
+        free = ~slot_keep[si]
+        score = jnp.where(alive & ~used, power, -1.0)
+        best = jnp.argmax(score)
+        ok = free & (score[best] > 0)
+        slot_row = slot_row.at[si].set(jnp.where(ok, best, slot_row[si]))
+        slot_uid = slot_uid.at[si].set(jnp.where(ok, uid[best], slot_uid[si]))
+        used = used | (ok & (jnp.arange(c) == best))
+
+    slot_valid = slot_uid > 0
+    srow = jnp.clip(slot_row, 0, c - 1)
+    slot_period = jnp.where(slot_valid, period[srow], 0.0)
+    slot_power = jnp.where(slot_valid, power[srow], 0.0)
+    slot_fft = jnp.where(slot_valid, fft_index[srow], 0)
+
+    # --- leakage detection per slot ---
+    active_now = alive & seen
+    cand_is_leak = (
+        active_now[None, :]
+        & slot_valid[:, None]
+        & (period[None, :] < slot_period[:, None] * cfg.leak_period_ratio)
+        & (power[None, :] >= slot_power[:, None] * cfg.leak_power_ratio)
+        & (bars_inactive[None, :] <= cfg.leak_min_bars)
+        & (uid[None, :] != slot_uid[:, None])
+    )                                                                # [S, C]
+    leak_score = jnp.where(cand_is_leak, power[None, :], -1.0)
+    best_leak = jnp.argmax(leak_score, axis=1)                       # [S]
+    found_leak = jnp.max(leak_score, axis=1) > 0
+    best_leak_uid = uid[best_leak]
+
+    # expire old leaks past max_bars (pre-increment like the reference)
+    leak_bars = jnp.where(state.leak_active, state.leak_bars + 1, 0)
+    expired = state.leak_active & (leak_bars > cfg.leak_max_bars)
+    was_active = state.leak_active & ~expired
+
+    same = was_active & found_leak & (state.leak_uid == best_leak_uid)
+    switched = found_leak & ~same
+    leak_active = found_leak
+    leak_uid = jnp.where(found_leak, best_leak_uid, 0)
+    leak_bars = jnp.where(same, leak_bars, jnp.where(switched, 1, 0))
+
+    new_state = TrackerState(
+        period=period, fft_index=fft_index, power=power, alive=alive,
+        seen_now=seen, bars_inactive=bars_inactive, uid=uid,
+        next_uid=next_uid, slot_uid=slot_uid, leak_active=leak_active,
+        leak_uid=leak_uid, leak_bars=leak_bars,
+    )
+    out = {
+        "slot_period": slot_period,
+        "slot_power": slot_power,
+        "slot_fft_index": slot_fft,
+        "slot_valid": slot_valid,
+        "slot_uid": slot_uid,
+        "leak_active": leak_active,
+        "leak_uid": leak_uid,
+        "leak_period": jnp.where(leak_active, period[best_leak], 0.0),
+        "leak_power": jnp.where(leak_active, power[best_leak], 0.0),
+    }
+    return new_state, out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_frames(
+    cand_periods: jax.Array,   # [T, J]
+    cand_powers: jax.Array,    # [T, J]
+    cand_fft_idx: jax.Array,   # [T, J] int32
+    cand_valid: jax.Array,     # [T, J] bool
+    cfg: TrackerConfig = TrackerConfig(),
+):
+    """Run the tracker over T frames of candidates; returns per-frame slot
+    outputs (dict of [T, n_slots] arrays) and the final state."""
+
+    def step(state, frame):
+        return tracker_step(state, frame, cfg)
+
+    state, outs = jax.lax.scan(
+        step,
+        init_state(cfg),
+        (
+            cand_periods.astype(jnp.float32),
+            cand_powers.astype(jnp.float32),
+            cand_fft_idx.astype(jnp.int32),
+            cand_valid.astype(bool),
+        ),
+    )
+    return outs, state
