@@ -1,0 +1,167 @@
+"""Pipeline layer tests: session, preset spec, drivers."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wavespec_tpu.extract import ExtractConfig, Method
+from wavespec_tpu.pipeline import (
+    BatchFetcher,
+    OnlineDriver,
+    PipelineSpec,
+    Session,
+    batch_warmup,
+    parse_preset,
+    run_pipeline,
+)
+from wavespec_tpu.reconstruct import ReconstructConfig
+from wavespec_tpu.runtime import Status, load_cycle_cache
+
+
+def planted(n=1536, period=64.0, amp=2.0, seed=0):
+    t = np.arange(n)
+    return (amp * np.sin(2 * np.pi * t / period)
+            + 0.05 * np.random.default_rng(seed).standard_normal(n)).astype(np.float32)
+
+
+def small_ecfg(method=Method.FFT_RIDGE, **kw):
+    d = dict(window=1024, top_k=2, min_period=10.0, max_period=200.0, method=method)
+    d.update(kw)
+    return ExtractConfig(**d)
+
+
+# ---------------------------------------------------------------- session
+
+
+def test_session_init_shutdown():
+    s = Session()
+    assert s.init(0, 64) == Status.OK
+    assert s.ready
+    assert s.init(0, 64) == Status.OK  # idempotent
+    s.shutdown()
+    assert not s.ready
+
+
+def test_session_bad_device_index():
+    s = Session()
+    st = s.init(999, 64)
+    assert st == Status.BAD_ARGS
+    assert "out of range" in s.get_last_error()
+
+
+# -------------------------------------------------------------- preset DSL
+
+
+def test_parse_preset_roundtrip():
+    spec = parse_preset(
+        "time: dc(mode=0) | zero_pad(left=0,right=0);"
+        "freq: denoise(threshold=0.1,beta=0.75) | mask(low=0.1,high=0.9);"
+        "extract: window=1024, top_k=2, method=music, min_period=10,"
+        " max_period=200, ar_order=10; waves: 2"
+    )
+    assert [s.name for s in spec.time_stages] == ["dc", "zero_pad"]
+    assert [s.name for s in spec.freq_stages] == ["denoise", "mask"]
+    assert spec.extract.window == 1024
+    assert spec.extract.method == Method.MUSIC
+    assert spec.wave_slots == 2
+
+
+def test_parse_preset_rejects_bad_stage():
+    with pytest.raises(ValueError):
+        parse_preset("time: denoise(threshold=0.1)")  # freq stage in time slot
+
+
+def test_run_pipeline_template_job_outputs():
+    spec = parse_preset(
+        "time: dc(mode=0); extract: window=1024, top_k=2, method=music,"
+        " min_period=10, max_period=200, ar_order=10; waves: 2"
+    )
+    x = planted()
+    out = run_pipeline(jnp.asarray(x), spec)
+    assert out["attrs"].shape == (2, 15)
+    assert out["fft"].shape == (512,)
+    assert out["phase"].shape == (512,)
+    assert out["group_delay"].shape == (512,)
+    assert out["wave_values"].shape == (2,)
+    periods = np.asarray(out["attrs"][:, 2])
+    assert any(abs(p - 64.0) / 64.0 < 0.05 for p in periods if p > 0)
+    assert np.isfinite(float(out["kalman_value"]))
+
+
+def test_run_pipeline_filtered_output():
+    spec = PipelineSpec(extract=small_ecfg(), emit_filtered=True)
+    out = run_pipeline(jnp.asarray(planted()), spec)
+    assert out["filtered"].shape == (1024,)
+
+
+# ----------------------------------------------------------------- drivers
+
+
+def test_batch_warmup_writes_cache(tmp_path):
+    ecfg = small_ecfg(method=Method.MUSIC, ar_order=10)
+    rcfg = ReconstructConfig()
+    x = planted(2048)
+    bufs = batch_warmup(
+        x, symbol="EURUSD", timeframe="M1", ecfg=ecfg, rcfg=rcfg,
+        hop=64, cache_dir=tmp_path,
+    )
+    assert bufs["wave1"].shape == (2048,)
+    files = list(tmp_path.glob("WaveSpecZZ_cycles_*.bin"))
+    assert len(files) == 1
+    assert files[0].name == "WaveSpecZZ_cycles_EURUSD_M1_w1024_m1_ar10_k2.bin"
+    back = load_cycle_cache(files[0])
+    np.testing.assert_allclose(back["wave1"], bufs["wave1"], rtol=1e-6)
+
+
+def test_batch_fetcher(tmp_path):
+    fetcher = BatchFetcher(symbol="GBPUSD", timeframe="H1",
+                           ecfg=small_ecfg(), cache_dir=tmp_path)
+    bufs = fetcher.run(planted(1600), hop=32)
+    assert (tmp_path / "WaveSpecZZ_cycles_GBPUSD_H1_w1024_m0_ar10_k2.bin").exists()
+    assert np.isfinite(bufs["period1"]).all()
+
+
+def test_online_driver_incremental_no_repaint():
+    ecfg = small_ecfg()
+    rcfg = ReconstructConfig(music_only=False)
+    x = planted(1400)
+
+    drv = OnlineDriver(ecfg=ecfg, rcfg=rcfg, history_chunk=100)
+    out1 = drv.update(x[:1200])
+    calc1 = int(out1["calculated"])
+    assert calc1 > 1023
+    wave_snapshot = out1["wave"][:calc1].copy()
+
+    # more bars arrive; previously computed rows must be byte-identical
+    out2 = drv.update(x)
+    np.testing.assert_array_equal(out2["wave"][:calc1], wave_snapshot)
+    assert int(out2["calculated"]) > calc1
+
+
+def test_online_driver_chunk_bound():
+    ecfg = small_ecfg()
+    drv = OnlineDriver(ecfg=ecfg, rcfg=ReconstructConfig(music_only=False),
+                       history_chunk=50, history_max_bars=200)
+    x = planted(2000)
+    out = drv.update(x)
+    # bounded: at most history_chunk new bars processed in one call
+    assert int(out["calculated"]) <= 2000
+    first = int(out["calculated"])
+    out = drv.update(x)
+    assert int(out["calculated"]) - first <= 50
+
+
+def test_online_driver_matches_batch():
+    """Causal online rows equal the batch causal decode for the same bars."""
+    ecfg = small_ecfg()
+    rcfg = ReconstructConfig(music_only=False)
+    x = planted(1300)
+    drv = OnlineDriver(ecfg=ecfg, rcfg=rcfg, history_chunk=10_000,
+                       history_max_bars=0)
+    out = drv.update(x)
+    from wavespec_tpu.extract import extract_cycles_batch
+    from wavespec_tpu.reconstruct import decode_causal
+    attrs = extract_cycles_batch(jnp.asarray(x), ecfg, hop=1)
+    dec = decode_causal(attrs, rcfg)
+    got = out["wave"][1023:]
+    np.testing.assert_allclose(got, np.asarray(dec["wave"]), rtol=1e-4, atol=1e-5)

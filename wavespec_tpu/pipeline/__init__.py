@@ -1,0 +1,22 @@
+"""Pipeline layer: session, spec (preset DSL successor), drivers."""
+
+from wavespec_tpu.pipeline.drivers import (
+    BatchFetcher,
+    OnlineDriver,
+    batch_warmup,
+    decoded_buffers,
+)
+from wavespec_tpu.pipeline.session import Session
+from wavespec_tpu.pipeline.spec import PipelineSpec, Stage, parse_preset, run_pipeline
+
+__all__ = [
+    "BatchFetcher",
+    "OnlineDriver",
+    "PipelineSpec",
+    "Session",
+    "Stage",
+    "batch_warmup",
+    "decoded_buffers",
+    "parse_preset",
+    "run_pipeline",
+]

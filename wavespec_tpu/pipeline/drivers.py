@@ -1,0 +1,198 @@
+"""Batch and online drivers: warmup, fetcher, chunked history replay.
+
+Rebuilds the reference's orchestration layer (L5):
+
+- `batch_warmup` — the flagship's first-attach path (`1.1.0:996-1122`):
+  one rolling-STFT batch over the whole history (hop=1), decode to per-bar
+  buffers, persist the cycle cache. Replaces the submit/poll/120s-wait
+  loop with one fused device program.
+- `BatchFetcher` — `WaveCyclesBatchFetcher.mq5` parity: headless one-shot
+  precompute over up to 500k bars that writes the shared cycle cache.
+- `OnlineDriver` — the `OnCalculate` contract: incremental recompute from
+  `prev_calculated`, chunked history replay with a persistent cursor
+  (`InpHistoryChunk`=2000 bars per call bounded by `InpHistoryMaxBars`,
+  `...pla-kalman.mq5:3186-3342`), per-bar extraction through the async
+  queue, and the no-repaint guarantee (already-emitted bars never change).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from wavespec_tpu.extract import ExtractConfig, extract_cycles_batch
+from wavespec_tpu.pipeline.session import Session
+from wavespec_tpu.reconstruct import ReconstructConfig, decode_causal, render_final
+from wavespec_tpu.runtime.caches import (
+    cycle_cache_filename,
+    save_cycle_cache,
+)
+
+
+def decoded_buffers(
+    series: np.ndarray,
+    ecfg: ExtractConfig,
+    rcfg: ReconstructConfig,
+    hop: int = 1,
+):
+    """Batch extract + full decode to per-bar buffers (cache layout).
+
+    Returns dict with the 20 cycle-cache buffers (wave/period/eta/phase
+    from the final rendered state; the six quality attrs placed at each
+    window's newest bar) plus the raw attrs.
+    """
+    n_bars = len(series)
+    attrs = extract_cycles_batch(jnp.asarray(series, jnp.float32), ecfg, hop=hop)
+    rendered = render_final(
+        attrs, n_bars=n_bars, window=ecfg.window, hop=hop, cfg=rcfg
+    )
+    causal = decode_causal(attrs, rcfg)
+
+    nwin = attrs.shape[0]
+    bar_ends = np.arange(nwin) * hop + (ecfg.window - 1)
+
+    def nan_to_zero(x):
+        return np.nan_to_num(np.asarray(x), nan=0.0)
+
+    buffers: dict[str, np.ndarray] = {}
+    for wi in (0, 1):
+        suffix = str(wi + 1)
+        buffers["wave" + suffix] = nan_to_zero(rendered["wave"][:, wi])
+        buffers["period" + suffix] = nan_to_zero(rendered["period"][:, wi])
+        buffers["eta" + suffix] = nan_to_zero(rendered["eta_seconds"][:, wi])
+        buffers["phase" + suffix] = nan_to_zero(rendered["phase"][:, wi])
+        for field in ("energy", "coherence", "snr_db", "score", "eigen_ratio", "eta_conf"):
+            buf = np.zeros(n_bars)
+            buf[bar_ends] = np.asarray(causal[field][:, wi])
+            key = {"snr_db": "snr", "eigen_ratio": "eigen"}.get(field, field)
+            buffers[key + suffix] = buf
+    return buffers, np.asarray(attrs)
+
+
+def batch_warmup(
+    series: np.ndarray,
+    *,
+    symbol: str = "SYM",
+    timeframe: str = "M1",
+    ecfg: ExtractConfig = ExtractConfig(),
+    rcfg: ReconstructConfig = ReconstructConfig(),
+    hop: int = 1,
+    batch_bars_limit: int = 20_000,
+    cache_dir: str | Path | None = None,
+) -> dict[str, np.ndarray]:
+    """Flagship batch warmup (`1.1.0:996-1122`): bounded history, decode,
+    optionally persist the cycle cache."""
+    if batch_bars_limit and len(series) > batch_bars_limit:
+        series = series[-batch_bars_limit:]
+    buffers, _ = decoded_buffers(series, ecfg, rcfg, hop=hop)
+    if cache_dir is not None:
+        name = cycle_cache_filename(
+            symbol, timeframe, ecfg.window, int(ecfg.method), ecfg.ar_order, ecfg.top_k
+        )
+        save_cycle_cache(Path(cache_dir) / name, buffers)
+    return buffers
+
+
+@dataclasses.dataclass
+class BatchFetcher:
+    """`WaveCyclesBatchFetcher.mq5` parity: one-shot headless precompute."""
+
+    symbol: str = "SYM"
+    timeframe: str = "M1"
+    ecfg: ExtractConfig = ExtractConfig()
+    rcfg: ReconstructConfig = ReconstructConfig()
+    max_bars: int = 500_000  # `WaveCyclesBatchFetcher.mq5:36`
+    cache_dir: str | Path = "."
+
+    def run(self, series: np.ndarray, hop: int = 1) -> dict[str, np.ndarray]:
+        if len(series) > self.max_bars:
+            series = series[-self.max_bars:]
+        return batch_warmup(
+            series,
+            symbol=self.symbol,
+            timeframe=self.timeframe,
+            ecfg=self.ecfg,
+            rcfg=self.rcfg,
+            hop=hop,
+            batch_bars_limit=0,
+            cache_dir=self.cache_dir,
+        )
+
+
+@dataclasses.dataclass
+class OnlineDriver:
+    """Incremental per-bar driver with chunked history replay.
+
+    The MT5 `OnCalculate(rates_total, prev_calculated)` contract: call
+    `update(series)` whenever new bars exist; only new windows are
+    computed (chunked to `history_chunk` per call, total replay bounded by
+    `history_max_bars`), and previously emitted rows are never rewritten.
+    """
+
+    ecfg: ExtractConfig = ExtractConfig()
+    rcfg: ReconstructConfig = ReconstructConfig()
+    history_chunk: int = 2000        # `InpHistoryChunk`
+    history_max_bars: int = 5000     # `InpHistoryMaxBars`
+    session: Session | None = None
+
+    prev_calculated: int = 0
+    _wave: np.ndarray | None = None
+    _attrs_rows: list | None = None
+
+    def update(self, series: np.ndarray) -> dict[str, np.ndarray]:
+        """Process up to `history_chunk` new bars; returns current buffers.
+
+        Output rows are per bar: wave/period/eta_seconds/phase for each
+        wave slot (causal decode — the live, no-repaint state).
+        """
+        series = np.asarray(series, np.float64)
+        n = len(series)
+        w = self.ecfg.window
+        slots = self.rcfg.max_waves
+        if self._wave is None:
+            self._wave = np.zeros((0, slots), np.float32)
+            self._period = np.zeros((0, slots), np.float32)
+            self._eta = np.zeros((0, slots), np.float32)
+            self._phase = np.zeros((0, slots), np.float32)
+
+        first_needed = max(self.prev_calculated, w - 1)
+        if self.history_max_bars and n - first_needed > self.history_max_bars:
+            first_needed = n - self.history_max_bars
+        end = min(n, first_needed + self.history_chunk)
+        if end <= first_needed:
+            return self.buffers()
+
+        # windows ending at bars [first_needed, end)
+        start_of_first = first_needed - (w - 1)
+        chunk = series[start_of_first:end]
+        attrs = extract_cycles_batch(jnp.asarray(chunk, jnp.float32), self.ecfg, hop=1)
+        decoded = decode_causal(attrs, self.rcfg)
+
+        def app(cur, new):
+            return np.concatenate([cur, np.asarray(new, np.float32)], axis=0)
+
+        pad = first_needed - len(self._wave)
+        if pad > 0:  # bars before the first full window -> zero rows
+            z = np.zeros((pad, slots), np.float32)
+            self._wave = app(self._wave, z)
+            self._period = app(self._period, z)
+            self._eta = app(self._eta, z)
+            self._phase = app(self._phase, z)
+        self._wave = app(self._wave, decoded["wave"])
+        self._period = app(self._period, decoded["period"])
+        self._eta = app(self._eta, decoded["eta_seconds"])
+        self._phase = app(self._phase, decoded["phase"])
+        self.prev_calculated = end
+        return self.buffers()
+
+    def buffers(self) -> dict[str, np.ndarray]:
+        return {
+            "wave": self._wave,
+            "period": self._period,
+            "eta_seconds": self._eta,
+            "phase": self._phase,
+            "calculated": np.asarray(self.prev_calculated),
+        }
