@@ -176,3 +176,15 @@ def test_build_tick_series_with_zigzag():
                             zig_cfg=ZigZagConfig(point=1e-3))
     assert out.shape == (500,)
     assert np.isfinite(out).all()
+
+
+def test_build_tick_series_epoch_timestamps():
+    """Unix-epoch tick times must not lose sub-second structure to f32."""
+    base = 1.767e9  # ~2026 epoch seconds
+    t = base + np.arange(600, dtype=np.float64) * 0.5  # 2 ticks/second
+    prices = np.arange(600, dtype=np.float32)
+    out = build_tick_series(prices, t, window_len=100, interval_seconds=1.0)
+    # 1-second grid over 0.5-second ticks: strictly increasing by 2
+    diffs = np.diff(out)
+    assert (diffs > 0).all()
+    np.testing.assert_allclose(diffs, 2.0, atol=0.5)

@@ -61,10 +61,15 @@ def build_tick_series(
     zig_cfg: ZigZagConfig = ZigZagConfig(),
 ) -> np.ndarray:
     """Full bridge-parity builder: resample (+smooth), optional ZigZag."""
+    # Normalize epoch timestamps to window-relative seconds on the host:
+    # raw unix times truncated to f32 at the jit boundary only resolve to
+    # ~128 s, which would scramble the grid lookup.
+    times = np.asarray(tick_times, np.float64)
+    times = times - times[0]
     series = np.asarray(
         resample_ticks(
             jnp.asarray(tick_prices),
-            jnp.asarray(tick_times),
+            jnp.asarray(times),
             window_len=window_len,
             interval_seconds=interval_seconds,
             smoothing_window=smoothing_window,
