@@ -1,0 +1,57 @@
+"""End-to-end v7.57 analytics pipeline test."""
+
+import numpy as np
+
+from wavespec_tpu.analyze.eta import EtaMode
+from wavespec_tpu.extract import DetrendMode
+from wavespec_tpu.ops.windows import WindowType
+from wavespec_tpu.pipeline import V757Config, run_v757
+
+
+def test_v757_full_pipeline():
+    n = 1024 + 400
+    t = np.arange(n)
+    series = (
+        100.0
+        + np.cumsum(0.01 * np.random.default_rng(0).standard_normal(n))
+        + 1.5 * np.sin(2 * np.pi * t / 36)
+        + 0.8 * np.sin(2 * np.pi * t / 24)
+    )
+    cfg = V757Config(window=1024, min_period=18.0, max_period=52.0,
+                     trend_period=256, taper=WindowType.BLACKMAN,
+                     detrend=DetrendMode.EHLERS, n_candidates=16)
+    out = run_v757(series, cfg, hop=1)
+    t_frames = n - 1024 + 1
+
+    assert out["slot_period"].shape == (t_frames, 12)
+    assert out["sig"].shape == (t_frames, 12)
+    assert out["kalman"].shape == (t_frames,)
+
+    # the two planted periods must occupy the top two slots persistently
+    tail = out["slot_period"][-50:]
+    found = set()
+    for s in range(12):
+        vals = tail[:, s][tail[:, s] > 0]
+        if len(vals):
+            found.add(round(float(np.median(vals))))
+    assert any(abs(p - 36) <= 2 for p in found), found
+    assert any(abs(p - 24) <= 2 for p in found), found
+
+    # slot identity is stable over the tail (no-repaint slot policy)
+    uids = out["slot_uid"][-50:, 0]
+    assert len(set(uids.tolist())) == 1
+
+    # cycle waveforms oscillate and colors flip accordingly
+    assert np.abs(out["cycle_values"][-200:, 0]).max() > 0.1
+    colors = out["color"][-200:, 0]
+    assert 0.2 < colors.mean() < 0.8  # both phases present
+
+    # Kalman tracks the price level
+    assert abs(out["kalman"][-1] - series[-1]) < 1.0
+
+    # ETA display respects sign convention
+    bullish = out["color"][-200:, 0] > 0.5
+    disp = out["eta_display"][-200:, 0]
+    valid = out["slot_valid"][-200:, 0]
+    assert (disp[bullish & valid] >= 1.0 - 1e-6).all()
+    assert (disp[~bullish & valid] <= 0.0).all()

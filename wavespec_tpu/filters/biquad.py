@@ -45,30 +45,36 @@ def biquad_coeffs(period: jax.Array, bandwidth: float = 0.5):
 def bandpass_cycle(
     price: jax.Array, period: jax.Array, bandwidth: float = 0.5
 ) -> jax.Array:
-    """Band-pass `price` ``[..., t]`` at `period` (scalar or ``[...]``).
+    """Band-pass `price` ``[..., t]`` at `period`.
 
-    Returns the cycle waveform ``[..., t]``. y[0] = y[1] = 0 per the
-    reference's i < 2 guard.
+    `period` may be a scalar, per-series ``[...]``, or **per-timestep**
+    ``[..., t]`` — the reference recomputes the coefficients every bar
+    with the slot's current dominant period (`CalculateCycle` is called
+    per bar), i.e. a time-varying recursion; the associative-scan
+    formulation handles that for free since each step carries its own
+    companion matrix. Returns the cycle waveform ``[..., t]``;
+    y[0] = y[1] = 0 per the reference's i < 2 guard.
     """
     price = price.astype(jnp.float32)
     t = price.shape[-1]
-    b0, b2, a1, a2 = biquad_coeffs(jnp.asarray(period, jnp.float32), bandwidth)
+    period_b = jnp.broadcast_to(jnp.asarray(period, jnp.float32), price.shape)
+    b0, b2, a1, a2 = biquad_coeffs(jnp.maximum(period_b, 2.01), bandwidth)
 
     # forcing term u[i] = b0 x[i] + b2 x[i-2]; x[<0] treated as 0
     x_m2 = jnp.concatenate([jnp.zeros_like(price[..., :2]), price[..., :-2]], axis=-1)
-    u = b0[..., None] * price + b2[..., None] * x_m2
-    # reference zeroes outputs for i < 2 -> zero the forcing there too
-    mask = jnp.arange(t) >= 2
+    u = b0 * price + b2 * x_m2
+    # reference zeroes outputs for i < 2 (and for period <= 0) ->
+    # zero the forcing there too
+    mask = (jnp.arange(t) >= 2) & (period_b > 0)
     u = u * mask
 
-    # state s_i = [y_i, y_{i-1}] = A s_{i-1} + [u_i, 0],
-    # A = [[-a1, -a2], [1, 0]]; associative combine of (M, v) pairs.
+    # state s_i = [y_i, y_{i-1}] = A_i s_{i-1} + [u_i, 0],
+    # A_i = [[-a1_i, -a2_i], [1, 0]]; associative combine of (M, v) pairs.
     zeros = jnp.zeros_like(u)
     ones = jnp.ones_like(u)
     m = jnp.stack(
         [
-            jnp.stack([jnp.broadcast_to(-a1[..., None], u.shape),
-                       jnp.broadcast_to(-a2[..., None], u.shape)], axis=-1),
+            jnp.stack([-a1, -a2], axis=-1),
             jnp.stack([ones, zeros], axis=-1),
         ],
         axis=-2,

@@ -8,6 +8,7 @@ from wavespec_tpu.pipeline.drivers import (
 )
 from wavespec_tpu.pipeline.session import Session
 from wavespec_tpu.pipeline.spec import PipelineSpec, Stage, parse_preset, run_pipeline
+from wavespec_tpu.pipeline.v757 import V757Config, run_v757
 
 __all__ = [
     "BatchFetcher",
@@ -19,4 +20,6 @@ __all__ = [
     "decoded_buffers",
     "parse_preset",
     "run_pipeline",
+    "run_v757",
+    "V757Config",
 ]

@@ -1,0 +1,171 @@
+"""The v7.57 full analytics pipeline (the `1.0.3-pla-kalman` variant).
+
+Rebuild of the most complete CPU analytics path in the reference
+(`Legacy/WaveSpecZZ_1.0.3-pla-kalman.mq5` OnCalculate, SURVEY §3.3),
+end to end:
+
+  per bar: price source -> Kalman 4D -> trend high-pass -> taper ->
+  rFFT -> power spectrum -> candidate band scan -> tracker matching ->
+  stable slots -> leakage detection -> per-slot biquad band-pass
+  reconstruction -> ETA blend/state -> FollowFirst signals -> states/CSV.
+
+TPU formulation: the per-bar spectral work for ALL bars runs as one
+batched MXU program (`extract`-style framing); the sequential state
+machines (trackers, ETA, signals) run as `lax.scan`s over the frame axis;
+the biquad reconstruction is an associative scan vmapped over the 12
+slots. One call analyzes an entire history.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wavespec_tpu.analyze.eta import EtaConfig, EtaMode, eta_state_machine
+from wavespec_tpu.analyze.trackers import TrackerConfig, track_frames
+from wavespec_tpu.extract import DetrendMode, frame_series
+from wavespec_tpu.filters.biquad import bandpass_cycle
+from wavespec_tpu.filters.kalman4d import Kalman4DConfig, kalman4d_filter
+from wavespec_tpu.kernels.mxu_fft import rfft_mxu
+from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
+from wavespec_tpu.ops.phase import fft_phase, group_delay, unwrap_phase
+from wavespec_tpu.ops.spectrum import band_indices
+from wavespec_tpu.ops.windows import WindowType, window_coefficients
+from wavespec_tpu.signals.followfirst import FollowFirstConfig, followfirst_signals
+
+
+@dataclasses.dataclass(frozen=True)
+class V757Config:
+    """Defaults = `...pla-kalman.mq5` inputs (`:801-842`, `:884-901`)."""
+
+    window: int = 4096            # InpFFTWindow (v7.57 default 16384; 4096 practical)
+    min_period: float = 18.0
+    max_period: float = 52.0
+    trend_period: int = 1024
+    bandwidth: float = 0.5        # biquad band-pass octaves
+    taper: WindowType = WindowType.BLACKMAN
+    detrend: DetrendMode = DetrendMode.EHLERS
+    n_candidates: int = 24        # top candidates fed to the trackers
+    tracker: TrackerConfig = TrackerConfig()
+    eta_mode: EtaMode = EtaMode.PHASE_NEXT_EXTREMUM
+    seconds_per_bar: float = 60.0
+    enable_kalman: bool = True
+    kalman: Kalman4DConfig = Kalman4DConfig()
+    followfirst: FollowFirstConfig = FollowFirstConfig()
+
+
+@partial(jax.jit, static_argnames=("cfg", "hop"))
+def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
+    """Batched per-frame spectrum work: candidates + group delay at bins."""
+    n = cfg.window
+    windows = frame_series(series, n, hop)
+    if cfg.detrend == DetrendMode.EHLERS:
+        windows = ehlers_highpass_detrend(windows, cfg.trend_period)
+    if cfg.taper != WindowType.NONE:
+        windows = windows * window_coefficients(n, cfg.taper, windows.dtype)
+    spec = rfft_mxu(windows)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+
+    k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
+    mask = (jnp.arange(n // 2) >= k_min) & (jnp.arange(n // 2) <= k_max)
+    inband = jnp.where(mask, power, 0.0)
+    cand_power, cand_idx = jax.lax.top_k(inband, cfg.n_candidates)
+    cand_valid = cand_power > 0
+    cand_period = jnp.where(
+        cand_valid, n / jnp.maximum(cand_idx.astype(jnp.float32), 1.0), 0.0
+    )
+
+    ph = fft_phase(spec)
+    uw = unwrap_phase(ph)
+    gd = group_delay(uw, n)
+    return cand_period, cand_power, cand_idx, cand_valid, gd
+
+
+def run_v757(
+    series: np.ndarray,
+    cfg: V757Config = V757Config(),
+    hop: int = 1,
+) -> dict[str, np.ndarray]:
+    """Full-history analytics. Frame f covers bars [f*hop, f*hop+window).
+
+    Returns per-frame arrays (T = number of frames, S = 12 slots):
+      slot_period/slot_power/slot_valid [T, S], leak flags, cycle
+      waveforms [T, S] (biquad), color/eta buffers [T, S], signals
+      sig [T, S] / confluence [T], kalman [T] (filtered price at each
+      frame's newest bar), states [T, S].
+    """
+    series = jnp.asarray(np.asarray(series, np.float32))
+    n_slots = cfg.tracker.n_slots
+
+    # 1) batched spectral frames + candidates
+    cand_period, cand_power, cand_idx, cand_valid, gd = _spectral_frames(
+        series, cfg, hop
+    )
+    t_frames = cand_period.shape[0]
+
+    # 2) trackers / stable slots / leaks (scan over frames)
+    slots, _state = track_frames(
+        cand_period, cand_power, cand_idx, cand_valid, cfg=cfg.tracker
+    )
+
+    # 3) per-slot biquad reconstruction over the frame-aligned price track
+    # with the slot's CURRENT per-frame period (time-varying recursion,
+    # exactly like `CalculateCycle` being re-invoked each bar).
+    newest = series[cfg.window - 1 :: hop][:t_frames]  # [T]
+    periods_ts = jnp.swapaxes(slots["slot_period"], 0, 1)  # [S, T]
+    cycle_vals = bandpass_cycle(
+        jnp.broadcast_to(newest, (n_slots, t_frames)), periods_ts, cfg.bandwidth
+    )  # [S, T]
+    cycle_vals = jnp.swapaxes(cycle_vals, 0, 1)  # [T, S]
+    cycle_vals = jnp.where(slots["slot_valid"], cycle_vals, 0.0)
+
+    # 4) ETA machine per slot
+    gd_at_slot = jnp.take_along_axis(
+        gd, jnp.clip(slots["slot_fft_index"], 0, gd.shape[-1] - 1), axis=-1
+    )
+    eta = eta_state_machine(
+        jnp.swapaxes(cycle_vals, 0, 1),
+        jnp.swapaxes(slots["slot_period"], 0, 1),
+        jnp.swapaxes(gd_at_slot, 0, 1),
+        EtaConfig(mode=cfg.eta_mode, seconds_per_bar=cfg.seconds_per_bar,
+                  fft_window=cfg.window),
+    )
+    color = jnp.swapaxes(eta["color"], 0, 1)         # [T, S]
+    eta_raw = jnp.swapaxes(eta["eta_raw"], 0, 1)
+    eta_display = jnp.swapaxes(eta["eta_display"], 0, 1)
+
+    # 5) states + FollowFirst signals (device-side collect_cycle_states)
+    states = jnp.where(
+        slots["slot_valid"], jnp.where(color > 0.5, 1.0, -1.0), 0.0
+    )
+    ff = followfirst_signals(
+        states, eta_raw, slots["slot_period"], slots["slot_valid"],
+        cfg.followfirst,
+    )
+
+    out = {
+        "slot_period": slots["slot_period"],
+        "slot_power": slots["slot_power"],
+        "slot_valid": slots["slot_valid"],
+        "slot_uid": slots["slot_uid"],
+        "leak_active": slots["leak_active"],
+        "leak_period": slots["leak_period"],
+        "cycle_values": cycle_vals,
+        "color": color,
+        "eta_raw": eta_raw,
+        "eta_display": eta_display,
+        "states": states,
+        "sig": ff["sig"],
+        "confluence": ff["confluence"],
+    }
+
+    # 6) Kalman 4D over the frame-aligned price
+    if cfg.enable_kalman:
+        kf, _ = kalman4d_filter(newest, cfg.kalman)
+        out["kalman"] = kf
+
+    return {k: np.asarray(v) for k, v in out.items()}
