@@ -52,16 +52,22 @@ def dft_factors(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
-@lru_cache(maxsize=32)
-def _plan(n: int):
-    """Precompute (host, float64) the DFT/twiddle factor matrices for N."""
+@lru_cache(maxsize=64)
+def _plan(n: int, n_k2: int | None = None):
+    """Precompute (host, float64) the DFT/twiddle factor matrices for N.
+
+    n_k2 limits the row-DFT to the first n_k2 columns (output bins
+    < n1*n_k2); None = full half spectrum (n2//2 columns).
+    """
     n1, n2 = dft_factors(n)
+    if n_k2 is None:
+        n_k2 = n2 // 2
     i1 = np.arange(n1)
     # F1[n1_in, k1] = exp(-2i pi n1_in k1 / N1); symmetric.
     f1 = np.exp(-2j * np.pi * np.outer(i1, i1) / n1)
-    # Half-spectrum row DFT: F2[n2_in, k2], k2 < N2/2 covers bins < N/2.
+    # Row DFT: F2[n2_in, k2], k2 < n_k2 covers bins < n1*n_k2.
     i2 = np.arange(n2)
-    k2 = np.arange(n2 // 2)
+    k2 = np.arange(n_k2)
     f2h = np.exp(-2j * np.pi * np.outer(i2, k2) / n2)
     # Twiddle T[k1, n2_in] = exp(-2i pi k1 n2_in / N).
     tw = np.exp(-2j * np.pi * np.outer(i1, i2) / n)
@@ -76,17 +82,27 @@ def _matmul(a, b, precision):
     return jnp.matmul(a, b, precision=precision)
 
 
-@partial(jax.jit, static_argnames=("precision",))
-def rfft_mxu(x: jax.Array, precision: str = "highest") -> jax.Array:
+@partial(jax.jit, static_argnames=("precision", "max_bins"))
+def rfft_mxu(
+    x: jax.Array, precision: str = "highest", max_bins: int | None = None
+) -> jax.Array:
     """Forward real DFT -> first n//2 complex bins, batched over leading dims.
 
     Drop-in for `wavespec_tpu.ops.rfft_bins` on backends without an FFT
     lowering (and faster for large window batches on TPU).
+
+    `max_bins` computes only a low-frequency prefix: the output has
+    ``ceil(max_bins/n1)*n1`` bins (>= max_bins). Band-limited consumers
+    (the in-band extractor needs ~200 of 2048 bins) skip most of the
+    row-DFT FLOPs and all downstream traffic on unused bins.
     """
     prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     n = x.shape[-1]
     n1, n2 = dft_factors(n)
-    (f1r, f1i), (f2r, f2i), (twr, twi) = _plan(n)
+    n_k2 = None
+    if max_bins is not None:
+        n_k2 = min((max_bins + n1 - 1) // n1, n2 // 2)
+    (f1r, f1i), (f2r, f2i), (twr, twi) = _plan(n, n_k2)
     f1r, f1i, f2r, f2i, twr, twi = (
         jnp.asarray(a) for a in (f1r, f1i, f2r, f2i, twr, twi)
     )
@@ -106,8 +122,9 @@ def rfft_mxu(x: jax.Array, precision: str = "highest") -> jax.Array:
     xi = _matmul(cr, f2i, prec) + _matmul(ci, f2r, prec)
 
     # Step 4: X[N1*k2 + k1] = X_mat[k1, k2] -> transpose then flatten.
-    xr = jnp.swapaxes(xr, -1, -2).reshape(*batch, n // 2)
-    xi = jnp.swapaxes(xi, -1, -2).reshape(*batch, n // 2)
+    out_bins = n1 * (n_k2 if n_k2 is not None else n2 // 2)
+    xr = jnp.swapaxes(xr, -1, -2).reshape(*batch, out_bins)
+    xi = jnp.swapaxes(xi, -1, -2).reshape(*batch, out_bins)
     return jax.lax.complex(xr, xi)
 
 
