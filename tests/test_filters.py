@@ -185,3 +185,23 @@ def test_biquad_batched_periods():
     assert y.shape == (3, 300)
     one = bandpass_cycle(jnp.asarray(x[1]), 40.0)
     np.testing.assert_allclose(np.asarray(y[1]), np.asarray(one), rtol=2e-3, atol=1e-4)
+
+
+# ------------------------------------------------------------ kalman wave
+
+
+def test_kalman_wave_blend_converges_to_signal():
+    from wavespec_tpu.filters import KalmanWaveConfig, kalman_wave
+
+    n = 1024
+    t = np.arange(n + 600)
+    series = (2.0 * np.sin(2 * np.pi * t / 64)
+              + 1.0 * np.sin(2 * np.pi * t / 32 + 0.7)).astype(np.float32)
+    cfg = KalmanWaveConfig(window=n, top_k=4, min_period=10.0, max_period=200.0)
+    blended, w_final, basis = kalman_wave(jnp.asarray(series), cfg, hop=1)
+    blended = np.asarray(blended)
+    measured = series[n - 1 :]
+    # after the regressor settles, the blend tracks the measured close
+    err = np.abs(blended[300:] - measured[300 : len(blended)])
+    assert err.mean() < 0.2
+    assert basis.shape == (len(blended), 4)

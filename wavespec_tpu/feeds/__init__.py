@@ -2,6 +2,7 @@
 
 from wavespec_tpu.feeds.applied_price import AppliedPrice, applied_price_series
 from wavespec_tpu.feeds.pla import PlaConfig, build_pla_series, pla_passthrough, pla_segments
+from wavespec_tpu.feeds.pool import FeedPool
 from wavespec_tpu.feeds.tick import build_tick_series, resample_ticks
 from wavespec_tpu.feeds.zigzag import (
     ZigMode,
@@ -12,6 +13,7 @@ from wavespec_tpu.feeds.zigzag import (
 
 __all__ = [
     "AppliedPrice",
+    "FeedPool",
     "PlaConfig",
     "ZigMode",
     "ZigZagConfig",

@@ -2,6 +2,7 @@
 
 from wavespec_tpu.filters.biquad import bandpass_cycle, biquad_coeffs
 from wavespec_tpu.filters.kalman4d import Kalman4DConfig, kalman4d_filter
+from wavespec_tpu.filters.kalman_wave import KalmanWaveConfig, kalman_wave
 from wavespec_tpu.filters.kalman_weights import (
     KalmanWeightsConfig,
     bin_contribution,
@@ -10,6 +11,8 @@ from wavespec_tpu.filters.kalman_weights import (
 
 __all__ = [
     "Kalman4DConfig",
+    "KalmanWaveConfig",
+    "kalman_wave",
     "KalmanWeightsConfig",
     "bandpass_cycle",
     "bin_contribution",

@@ -57,7 +57,10 @@ def bandpass_cycle(
     """
     price = price.astype(jnp.float32)
     t = price.shape[-1]
-    period_b = jnp.broadcast_to(jnp.asarray(period, jnp.float32), price.shape)
+    period = jnp.asarray(period, jnp.float32)
+    if period.ndim == price.ndim - 1:
+        period = period[..., None]  # per-series -> broadcast over time
+    period_b = jnp.broadcast_to(period, price.shape)
     b0, b2, a1, a2 = biquad_coeffs(jnp.maximum(period_b, 2.01), bandwidth)
 
     # forcing term u[i] = b0 x[i] + b2 x[i-2]; x[<0] treated as 0
