@@ -1,28 +1,69 @@
-"""Batched symmetric eigendecomposition via cyclic Jacobi rotations.
+"""Batched symmetric eigendecomposition via parallel-ordering cyclic Jacobi.
 
 The MUSIC path (`gpu_extract_cycles` method=1) needs eigh of small
 (ar_order x ar_order, default 10x10) symmetric covariance matrices, batched
-over thousands of STFT windows. We implement cyclic Jacobi in pure JAX:
+over thousands of STFT windows. We implement Jacobi in pure JAX:
 
-- every rotation is a batched [B, m, m] matmul pair -> MXU-friendly;
 - no dependence on an LAPACK-style `eigh` lowering (not all TPU runtimes
   ship one — the axon backend notably lacks several linalg lowerings);
-- deterministic fixed sweep count -> static control flow under jit.
+- **parallel ordering**: each round applies floor(m/2) disjoint rotations
+  (round-robin tournament pairing) composed into ONE orthogonal matrix,
+  so a sweep is m-1 batched [B, m, m] matmul steps instead of m(m-1)/2 —
+  the sequential latency chain shrinks ~5x for m=10, which matters on a
+  TPU where each tiny matmul costs a full dispatch in the chain;
+- deterministic fixed sweep count -> static control flow under jit;
+- all matmuls pinned to HIGHEST precision (bf16 passes would corrupt the
+  noise-subspace split).
 
-For m <= 32 and ~8 sweeps this converges to ~1e-7 off-diagonal mass,
+For m <= 32 and ~10 sweeps this converges to ~1e-7 off-diagonal mass,
 plenty for subspace splitting.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=16)
+def _round_robin_plan(m: int):
+    """Tournament pairing: (m_pad-1) rounds of m_pad/2 disjoint pairs.
+
+    Returns (pairs [rounds, m_pad/2, 2] int32 with entries < m valid and
+    pad-pairs marked by index >= m, PP [rounds, m/2, m, m], PQ alike) where
+    PP_i = e_p e_p^T + e_q e_q^T and PQ_i = e_p e_q^T - e_q e_p^T.
+    """
+    m_pad = m + (m & 1)
+    players = list(range(m_pad))
+    rounds = []
+    for _ in range(m_pad - 1):
+        half = m_pad // 2
+        rounds.append([(players[i], players[m_pad - 1 - i]) for i in range(half)])
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    n_pairs = m_pad // 2
+    pp = np.zeros((len(rounds), n_pairs, m, m), np.float32)
+    pq = np.zeros((len(rounds), n_pairs, m, m), np.float32)
+    valid = np.zeros((len(rounds), n_pairs), np.float32)
+    pidx = np.zeros((len(rounds), n_pairs, 2), np.int32)
+    for r, rnd in enumerate(rounds):
+        for i, (a, b) in enumerate(rnd):
+            p, q = min(a, b), max(a, b)
+            pidx[r, i] = (min(p, m - 1), min(q, m - 1))
+            if q >= m:
+                continue  # padding pair
+            valid[r, i] = 1.0
+            pp[r, i, p, p] = 1.0
+            pp[r, i, q, q] = 1.0
+            pq[r, i, p, q] = 1.0
+            pq[r, i, q, p] = -1.0
+    return pidx, valid, pp, pq
 
 
 @partial(jax.jit, static_argnames=("sweeps",))
-def jacobi_eigh(a: jax.Array, sweeps: int = 8):
+def jacobi_eigh(a: jax.Array, sweeps: int = 10):
     """Eigendecomposition of symmetric ``a`` ``[..., m, m]``.
 
     Returns (eigenvalues ascending ``[..., m]``, eigenvectors ``[..., m, m]``
@@ -32,38 +73,36 @@ def jacobi_eigh(a: jax.Array, sweeps: int = 8):
     m = a.shape[-1]
     batch = a.shape[:-2]
     a = a.reshape(-1, m, m).astype(jnp.float32)
-    b = a.shape[0]
 
-    pairs = jnp.array(
-        [(p, q) for p in range(m - 1) for q in range(p + 1, m)], dtype=jnp.int32
-    )
-    n_pairs = pairs.shape[0]
+    pidx_np, valid_np, pp_np, pq_np = _round_robin_plan(m)
+    pidx = jnp.asarray(pidx_np)      # [R, P, 2]
+    valid = jnp.asarray(valid_np)    # [R, P]
+    pp = jnp.asarray(pp_np)          # [R, P, m, m]
+    pq = jnp.asarray(pq_np)
+    n_rounds = pidx.shape[0]
     eye = jnp.eye(m, dtype=jnp.float32)
+    prec = jax.lax.Precision.HIGHEST
 
-    def rotate(i, state):
+    def apply_round(r, state):
         mat, vecs = state
-        p = pairs[i, 0]
-        q = pairs[i, 1]
-        ep = jax.nn.one_hot(p, m, dtype=jnp.float32)
-        eq = jax.nn.one_hot(q, m, dtype=jnp.float32)
-        app = jnp.einsum("bij,i,j->b", mat, ep, ep)
-        aqq = jnp.einsum("bij,i,j->b", mat, eq, eq)
-        apq = jnp.einsum("bij,i,j->b", mat, ep, eq)
+        pr = pidx[r]                                   # [P, 2]
+        app = mat[:, pr[:, 0], pr[:, 0]]               # [b, P]
+        aqq = mat[:, pr[:, 1], pr[:, 1]]
+        apq = mat[:, pr[:, 0], pr[:, 1]]
         theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-        c = jnp.cos(theta)[:, None, None]
-        s = jnp.sin(theta)[:, None, None]
-        pp = jnp.outer(ep, ep) + jnp.outer(eq, eq)
-        pq = jnp.outer(ep, eq) - jnp.outer(eq, ep)
-        rot = eye + (c - 1.0) * pp + s * pq  # [b, m, m]
-        mat = jnp.einsum("bji,bjk,bkl->bil", rot, mat, rot, precision=jax.lax.Precision.HIGHEST)
-        vecs = jnp.einsum("bij,bjk->bik", vecs, rot, precision=jax.lax.Precision.HIGHEST)
+        theta = theta * valid[r]                       # freeze padding pairs
+        c, s = jnp.cos(theta), jnp.sin(theta)
+        # compose the disjoint rotations of this round into one matrix
+        rot = eye + jnp.einsum("bp,pmn->bmn", c - 1.0, pp[r]) \
+                  + jnp.einsum("bp,pmn->bmn", s, pq[r])
+        mat = jnp.einsum("bji,bjk,bkl->bil", rot, mat, rot, precision=prec)
+        vecs = jnp.einsum("bij,bjk->bik", vecs, rot, precision=prec)
         return mat, vecs
 
-    # Derive the identity init from `a` (zeros_like keeps `a`'s varying
-    # manual axes, so the fori_loop carry types match under shard_map).
-    vecs0 = jnp.zeros_like(a) + eye
+    vecs0 = jnp.zeros_like(a) + eye  # inherits a's varying axes (shard_map)
     mat, vecs = jax.lax.fori_loop(
-        0, sweeps * n_pairs, lambda i, s: rotate(i % n_pairs, s), (a, vecs0)
+        0, sweeps * n_rounds, lambda i, st: apply_round(i % n_rounds, st),
+        (a, vecs0),
     )
 
     eigvals = jnp.diagonal(mat, axis1=-2, axis2=-1)
