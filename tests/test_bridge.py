@@ -113,7 +113,7 @@ def test_template_job():
         if ready:
             break
     assert res.cycles.shape == (2, 15)
-    assert res.fft.shape == (512,)
+    assert res.fft.shape == (1024,)  # interleaved re/im, bridge layout
     periods = res.cycles[:, 2]
     assert any(abs(p - 64.0) < 3 for p in periods if p > 0)
     bridge.mt_gpu_wave_free_template_job(jid)

@@ -312,8 +312,11 @@ def mt_gpu_wave_try_get_template_job(job_id: int):
     ready, out = _queue().try_get(job_id)
     if not ready:
         return False, None
+    # Interleave the complex spectrum on-device before the host transfer:
+    # the bridge contract is interleaved doubles, and some TPU runtimes
+    # cannot transfer complex64 buffers to the host at all.
     return True, _TemplateResult(
-        fft=np.asarray(out["fft"]),
+        fft=_to_interleaved(out["fft"]),
         phase=np.asarray(out["phase"]),
         unwrapped=np.asarray(out["unwrapped"]),
         group_delay=np.asarray(out["group_delay"]),
