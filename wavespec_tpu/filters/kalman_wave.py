@@ -12,6 +12,13 @@ the measured close — the blended output is the Kalman-smoothed wave
 TPU formulation: ALL frames' spectra and contributions come from one
 batched MXU DFT + one-hot contractions; only the scalar-innovation weight
 recursion is a scan.
+
+Faithfulness note: like the reference (`1.0.4-kalman.mq5:283` regresses the
+RAW close against Hann-windowed bin contributions, and Hann is ~0 at the
+window endpoint n0 = N-1), the basis is purely oscillatory and near-zero
+scaled — the regressor must inflate weights to express any price LEVEL, so
+absolute tracking error grows with the series' mean level. Feed detrended
+or zero-mean series for level-robust blends.
 """
 
 from __future__ import annotations
