@@ -4,6 +4,11 @@ import json
 import time
 from functools import partial
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 

@@ -133,3 +133,20 @@ def test_batched_slots():
         cfg,
     )
     assert out["color"].shape == (2, 100)
+
+
+def test_leak_eta_bars():
+    import jax.numpy as jnp
+    from wavespec_tpu.analyze.eta import leak_eta_bars
+
+    active = jnp.asarray([True, True, False])
+    period = jnp.asarray([10.0, 10.0, 10.0])
+    bars = jnp.asarray([2, 2, 2])
+    gd = jnp.asarray([0.0, 0.0, 0.0])
+    main_eta = jnp.asarray([5.0, -5.0, 5.0])  # bull, bear, inactive
+    out = np.asarray(leak_eta_bars(active, period, bars, gd, main_eta, 60.0))
+    # target = max(1, 10, 2) = 10 bars; progress = 0.2;
+    # scientific eta = (1-0.2)*600s = 480s = 8 bars
+    np.testing.assert_allclose(out[0], 8.0, rtol=1e-5)
+    np.testing.assert_allclose(out[1], -8.0, rtol=1e-5)  # signed by main
+    assert out[2] == 0.0  # inactive

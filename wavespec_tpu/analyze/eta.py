@@ -78,6 +78,30 @@ def eta_scientific(group_delay_bars, phase_length_seconds, progress, seconds_per
     return jnp.where(phase_length_seconds > 0, eta, 0.0)
 
 
+def leak_eta_bars(
+    leak_active, leak_period, leak_bars, leak_group_delay, main_eta_display,
+    seconds_per_bar: float = 60.0,
+):
+    """Leak-intrusion ETA (`PopulateLeakBuffers`, `...pla-kalman.mq5:2290-2357`).
+
+    Scientific ETA with phase target max(1, leak_period, leak_bars_active),
+    progress = elapsed/target, falling back to the structural remainder;
+    signed to follow the main cycle's ETA direction. All inputs are
+    elementwise arrays (no state: the leak counters come from the tracker).
+    """
+    target_bars = jnp.maximum(jnp.maximum(1.0, leak_period),
+                              leak_bars.astype(jnp.float32))
+    target_sec = target_bars * seconds_per_bar
+    elapsed_sec = leak_bars.astype(jnp.float32) * seconds_per_bar
+    progress = jnp.where(target_sec > 0, jnp.minimum(1.0, elapsed_sec / target_sec), 0.0)
+    eta_sec = eta_scientific(leak_group_delay, target_sec, progress, seconds_per_bar)
+    eta_sec = jnp.where(eta_sec <= 0.0,
+                        jnp.maximum(0.0, target_sec - elapsed_sec), eta_sec)
+    bars = eta_sec / seconds_per_bar
+    signed = jnp.where(main_eta_display < 0, -jnp.abs(bars), jnp.abs(bars))
+    return jnp.where(leak_active, signed, 0.0)
+
+
 def _masked_median_int(hist):
     """Median of the non-zero entries of a 5-vector, reference style:
     sorted ascending, element at index count//2; 0 when empty."""

@@ -246,6 +246,8 @@ def tracker_step(state: TrackerState, frame, cfg: TrackerConfig):
         "leak_uid": leak_uid,
         "leak_period": jnp.where(leak_active, period[best_leak], 0.0),
         "leak_power": jnp.where(leak_active, power[best_leak], 0.0),
+        "leak_fft_index": jnp.where(leak_active, fft_index[best_leak], 0),
+        "leak_bars": jnp.where(leak_active, leak_bars, 0),
     }
     return new_state, out
 

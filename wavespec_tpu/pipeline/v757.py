@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from wavespec_tpu.analyze.eta import EtaConfig, EtaMode, eta_state_machine
+from wavespec_tpu.analyze.eta import EtaConfig, EtaMode, eta_state_machine, leak_eta_bars
 from wavespec_tpu.analyze.trackers import TrackerConfig, track_frames
 from wavespec_tpu.extract import DetrendMode, frame_series
 from wavespec_tpu.filters.biquad import bandpass_cycle
@@ -147,6 +147,15 @@ def run_v757(
         cfg.followfirst,
     )
 
+    # leak ETA buffers (`PopulateLeakBuffers`, `:2290-2357`)
+    leak_gd = jnp.take_along_axis(
+        gd, jnp.clip(slots["leak_fft_index"], 0, gd.shape[-1] - 1), axis=-1
+    )
+    leak_eta = leak_eta_bars(
+        slots["leak_active"], slots["leak_period"], slots["leak_bars"],
+        leak_gd, eta_display, cfg.seconds_per_bar,
+    )
+
     out = {
         "slot_period": slots["slot_period"],
         "slot_power": slots["slot_power"],
@@ -154,6 +163,7 @@ def run_v757(
         "slot_uid": slots["slot_uid"],
         "leak_active": slots["leak_active"],
         "leak_period": slots["leak_period"],
+        "leak_eta": leak_eta,
         "cycle_values": cycle_vals,
         "color": color,
         "eta_raw": eta_raw,
