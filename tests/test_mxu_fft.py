@@ -60,3 +60,26 @@ def test_matches_planted_sinusoid_bins():
     assert power.argmax() == 64
     # amplitude recovery: |X_k| = A*N/2 for an exact-bin sinusoid
     np.testing.assert_allclose(np.abs(spec[64]), 2.5 * n / 2, rtol=1e-5)
+
+
+def test_rfft_band_fused_interpret_matches_numpy():
+    """Fused Pallas band DFT (interpret mode) vs NumPy oracle."""
+    from wavespec_tpu.kernels.fused_dft import rfft_band_fused
+
+    B, n = 128, 2048
+    w = rng(42).standard_normal((B, n)).astype(np.float32)
+    spec = rfft_band_fused(jnp.asarray(w), max_bins=200, tile=64, interpret=True)
+    bins = spec.shape[1]
+    want = np.fft.rfft(w.astype(np.float64))[:, :bins]
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(np.asarray(spec).real, want.real, atol=scale * 2e-6)
+    np.testing.assert_allclose(np.asarray(spec).imag, want.imag, atol=scale * 2e-6)
+
+
+def test_rfft_mxu_max_bins_prefix():
+    n = 4096
+    x = rng(5).standard_normal((2, n)).astype(np.float32)
+    full = np.asarray(rfft_mxu(jnp.asarray(x)))
+    part = np.asarray(rfft_mxu(jnp.asarray(x), max_bins=230))
+    assert part.shape[-1] == 256
+    np.testing.assert_allclose(part, full[:, :256], rtol=1e-5, atol=1e-3)
