@@ -165,3 +165,17 @@ def test_online_driver_matches_batch():
     dec = decode_causal(attrs, rcfg)
     got = out["wave"][1023:]
     np.testing.assert_allclose(got, np.asarray(dec["wave"]), rtol=1e-4, atol=1e-5)
+
+
+def test_online_driver_backfill_and_live_caps():
+    ecfg = small_ecfg()
+    drv = OnlineDriver(ecfg=ecfg, rcfg=ReconstructConfig(music_only=False),
+                       history_chunk=10_000, history_max_bars=0,
+                       backfill_windows=50)
+    x = planted(3000)
+    out = drv.update(x)
+    # first run only backfills the trailing 50 windows
+    assert int(out["calculated"]) == 3000
+    wave = out["wave"]
+    assert (wave[: 3000 - 50] == 0).all()
+    assert np.abs(wave[2990:]).sum() > 0

@@ -1,5 +1,7 @@
 """Numerical ops: detrend, windows, spectrum, phase, preprocessing."""
 
+from wavespec_tpu.ops import preproc
+
 from wavespec_tpu.ops.detrend import (
     DcMode,
     ehlers_highpass_detrend,

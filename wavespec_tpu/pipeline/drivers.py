@@ -136,6 +136,12 @@ class OnlineDriver:
     rcfg: ReconstructConfig = ReconstructConfig()
     history_chunk: int = 2000        # `InpHistoryChunk`
     history_max_bars: int = 5000     # `InpHistoryMaxBars`
+    # First-run backfill: recompute this many trailing windows (0 = whole
+    # history) — `InpBackfillWindows` (`1.1.0:57`).
+    backfill_windows: int = 0
+    # Cap on live bars kept in the rolling computation (0 = unlimited) —
+    # `InpMaxLiveBars` (`1.1.0:69`).
+    max_live_bars: int = 0
     session: Session | None = None
 
     prev_calculated: int = 0
@@ -159,6 +165,10 @@ class OnlineDriver:
             self._phase = np.zeros((0, slots), np.float32)
 
         first_needed = max(self.prev_calculated, w - 1)
+        if self.prev_calculated == 0 and self.backfill_windows:
+            first_needed = max(first_needed, n - self.backfill_windows)
+        if self.max_live_bars and n - first_needed > self.max_live_bars:
+            first_needed = n - self.max_live_bars
         if self.history_max_bars and n - first_needed > self.history_max_bars:
             first_needed = n - self.history_max_bars
         end = min(n, first_needed + self.history_chunk)
