@@ -47,7 +47,7 @@ import jax.numpy as jnp
 
 from wavespec_tpu.kernels.mxu_fft import rfft_mxu
 from wavespec_tpu.ops.detrend import ehlers_highpass_detrend, linear_detrend
-from wavespec_tpu.ops.spectrum import band_indices, band_mask
+from wavespec_tpu.ops.spectrum import band_indices
 from wavespec_tpu.ops.windows import WindowType, coherent_gain, window_coefficients
 
 STRIDE = 15

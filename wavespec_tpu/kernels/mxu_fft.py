@@ -33,7 +33,6 @@ mode (bf16x1) is available for throughput scans.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache, partial
 
 import jax

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import ctypes
 import enum
-import os
 import subprocess
 import threading
 from pathlib import Path
