@@ -227,3 +227,18 @@ def test_invalid_config_raises():
         ExtractConfig(window=1000)
     with pytest.raises(ValueError):
         ExtractConfig(top_k=9)
+
+
+def test_auto_method_selects_music_when_confident():
+    """AUTO: strong sinusoids -> MUSIC records; pure noise -> FFT ridge."""
+    cfg = ExtractConfig(window=1024, top_k=2, min_period=10.0, max_period=200.0,
+                        method=Method.AUTO, ar_order=10)
+    clean = planted_series(1024, [(2.0, 64.0, 0.3), (1.0, 30.0, 1.2)], noise=0.05)
+    attrs = np.asarray(extract_cycles(jnp.asarray(clean), cfg))
+    assert np.all(attrs[:, METHOD_ID] == 1.0)  # confident subspace -> MUSIC
+    periods = sorted(attrs[:, PERIOD])
+    np.testing.assert_allclose(periods, [30.0, 64.0], rtol=0.05)
+
+    noise = planted_series(1024, [], noise=1.0, seed=9)
+    attrs_n = np.asarray(extract_cycles(jnp.asarray(noise), cfg))
+    assert np.all(attrs_n[:, METHOD_ID] == 0.0)  # no structure -> FFT ridge

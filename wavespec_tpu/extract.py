@@ -117,6 +117,9 @@ class ExtractConfig:
     # (MUSIC assumes sinusoids + white-ish noise; a raw price random walk
     # does not satisfy that).
     music_highpass: bool = True
+    # method=AUTO: keep MUSIC records when the window's signal/noise
+    # eigenvalue ratio is at least this; fall back to FFT ridge otherwise.
+    auto_eigen_threshold: float = 10.0
 
     def __post_init__(self):
         if self.window & (self.window - 1) or self.window < 16:
@@ -313,6 +316,26 @@ def frame_series(series: jax.Array, window: int, hop: int) -> jax.Array:
     return series[idx]
 
 
+def _extract_windows(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
+    """Dispatch preconditioned windows to the configured method.
+
+    AUTO (`method=-1`, `1.1.0:50`): run both estimators; per cycle, keep
+    the MUSIC record when the subspace is confident (window eigen_ratio
+    >= `auto_eigen_threshold`), else the FFT-ridge record — each row keeps
+    its true method_id so the decode-site MusicOnly gate still applies.
+    """
+    if cfg.method == Method.FFT_RIDGE:
+        return _fft_ridge(windows, cfg)
+    from wavespec_tpu.analyze.music import music_extract
+
+    if cfg.method == Method.MUSIC:
+        return music_extract(windows, cfg)
+    music = music_extract(windows, cfg)
+    ridge = _fft_ridge(windows, cfg)
+    confident = music[..., :, EIGEN_RATIO] >= cfg.auto_eigen_threshold
+    return jnp.where(confident[..., None], music, ridge)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def extract_cycles(series: jax.Array, cfg: ExtractConfig = ExtractConfig()) -> jax.Array:
     """Single-window extraction: last `cfg.window` samples of `series`.
@@ -323,13 +346,7 @@ def extract_cycles(series: jax.Array, cfg: ExtractConfig = ExtractConfig()) -> j
     """
     win = series[..., -cfg.window:].astype(jnp.float32)
     win = _precondition(win, cfg)
-    if cfg.method == Method.FFT_RIDGE:
-        return _fft_ridge(win, cfg)
-    # MUSIC / AUTO paths are provided by wavespec_tpu.analyze.music and
-    # dispatched here (imported lazily to avoid a cycle).
-    from wavespec_tpu.analyze.music import music_extract
-
-    return music_extract(win, cfg)
+    return _extract_windows(win, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "hop"))
@@ -348,8 +365,4 @@ def extract_cycles_batch(
     """
     windows = frame_series(series, cfg.window, hop)
     windows = _precondition(windows, cfg)
-    if cfg.method == Method.FFT_RIDGE:
-        return _fft_ridge(windows, cfg)
-    from wavespec_tpu.analyze.music import music_extract
-
-    return music_extract(windows, cfg)
+    return _extract_windows(windows, cfg)
