@@ -13,8 +13,8 @@ Mosaic layout constraints shape the design:
   minor splits are "unsupported shape cast");
 - the (window, n1) transpose happens OUTSIDE the kernel (XLA transposes at
   HBM bandwidth): input arrives as [n1, B, 128];
-- the twiddle factors are pre-tiled to [n1, TILE*128] host-side so the
-  elementwise stage needs no broadcast reshape;
+- the twiddle stays [n1, 128] and broadcasts over the tile axis via a
+  minor-preserving reshape;
 - the kernel emits X in its natural [n1*TILE, n_k2] matmul layout; XLA
   reorders to [B, bins] afterwards (tiny).
 
@@ -44,7 +44,7 @@ N2 = 128
 
 
 @lru_cache(maxsize=32)
-def _plan128(n: int, n_k2: int, tile: int):
+def _plan128(n: int, n_k2: int):
     """Factor matrices for n = n1 x 128 with pre-tiled twiddles."""
     if n % N2 or (n // N2) < 8:
         raise ValueError(f"fused DFT needs n = n1*128 with n1 >= 8, got {n}")
@@ -55,11 +55,10 @@ def _plan128(n: int, n_k2: int, tile: int):
     k2 = np.arange(n_k2)
     f2 = np.exp(-2j * np.pi * np.outer(i2, k2) / N2)          # [128, n_k2]
     tw = np.exp(-2j * np.pi * np.outer(i1, i2) / n)           # [n1, 128]
-    tw_big = np.tile(tw[:, None, :], (1, tile, 1)).reshape(n1, tile * N2)
     return (
         f1.real.astype(np.float32), f1.imag.astype(np.float32),
         f2.real.astype(np.float32), f2.imag.astype(np.float32),
-        tw_big.real.astype(np.float32), tw_big.imag.astype(np.float32),
+        tw.real.astype(np.float32), tw.imag.astype(np.float32),
     )
 
 
@@ -73,8 +72,14 @@ def _kernel(at_ref, f1r_ref, f1i_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
     bi = jnp.dot(f1i_ref[:], a_t, preferred_element_type=jnp.float32,
                  precision=HIGHEST)
 
-    cr = br * twr_ref[:] - bi * twi_ref[:]
-    ci = br * twi_ref[:] + bi * twr_ref[:]
+    # twiddle T[k1, b] broadcast over the tile axis (keeps the constant at
+    # [n1, 128] instead of a [n1, tile*128] pre-tiled copy)
+    twr = twr_ref[:].reshape(n1, 1, N2)
+    twi = twi_ref[:].reshape(n1, 1, N2)
+    br3 = br.reshape(n1, tile, N2)
+    bi3 = bi.reshape(n1, tile, N2)
+    cr = (br3 * twr - bi3 * twi).reshape(n1, tile * N2)
+    ci = (br3 * twi + bi3 * twr).reshape(n1, tile * N2)
 
     # contract over b=128: [(k1, w), 128] @ [128, n_k2]
     cr2 = cr.reshape(n1 * tile, N2)
@@ -106,7 +111,7 @@ def rfft_band_fused(
         raise ValueError(f"batch {b} not divisible by tile {tile}")
     n1 = n // N2
     n_k2 = min((max_bins + n1 - 1) // n1, N2 // 2)
-    f1r, f1i, f2r, f2i, twr, twi = _plan128(n, n_k2, tile)
+    f1r, f1i, f2r, f2i, twr, twi = _plan128(n, n_k2)
     out_bins = n1 * n_k2
 
     # pre-transpose in XLA: [B, n] -> [B, n1, 128] -> [n1, B, 128]
@@ -130,7 +135,7 @@ def rfft_band_fused(
         grid=grid,
         in_specs=[in_spec, const2(n1, n1), const2(n1, n1),
                   const2(N2, n_k2), const2(N2, n_k2),
-                  const2(n1, tile * N2), const2(n1, tile * N2)],
+                  const2(n1, N2), const2(n1, N2)],
         out_specs=[out_spec, out_spec],
         out_shape=out_shape,
         interpret=interpret,
