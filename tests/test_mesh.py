@@ -117,3 +117,35 @@ def test_segmented_sharded_max_mode():
     )
     want = np.asarray(fft_segmented(jnp.asarray(x), seg, 0, MixMode.MAX))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_pipeline_step_sharded_music():
+    """MUSIC (jacobi scan) under shard_map on the 8-device mesh."""
+    from wavespec_tpu.extract import Method
+
+    ecfg = ExtractConfig(window=512, top_k=2, min_period=8.0, max_period=64.0,
+                         method=Method.MUSIC, ar_order=8)
+    rcfg = ReconstructConfig()
+    x, _ = make_batch(s=8, t=640)
+    mesh = make_mesh({"data": 8})
+    attrs, waves = pipeline_step_sharded(
+        shard_series_batch(jnp.asarray(x), mesh), mesh=mesh, ecfg=ecfg,
+        rcfg=rcfg, hop=64,
+    )
+    assert attrs.shape[-1] == 15
+    assert np.isfinite(np.asarray(attrs)).all()
+
+
+def test_long_window_extract():
+    """Next-gen window sizes (gpu_wip defaults 32768) run through the
+    MXU DFT (factors 128x256)."""
+    from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles
+
+    n = 32768
+    t = np.arange(n)
+    x = (np.sin(2 * np.pi * t / 1000) + 0.5 * np.sin(2 * np.pi * t / 3000)).astype(np.float32)
+    cfg = ExtractConfig(window=n, top_k=2, min_period=500.0, max_period=5000.0,
+                        method=Method.FFT_RIDGE)
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    periods = sorted(attrs[:, 2])
+    np.testing.assert_allclose(periods, [1000.0, 3000.0], rtol=0.05)
