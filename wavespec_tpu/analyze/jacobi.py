@@ -93,8 +93,8 @@ def jacobi_eigh(a: jax.Array, sweeps: int = 10):
         theta = theta * valid[r]                       # freeze padding pairs
         c, s = jnp.cos(theta), jnp.sin(theta)
         # compose the disjoint rotations of this round into one matrix
-        rot = eye + jnp.einsum("bp,pmn->bmn", c - 1.0, pp[r]) \
-                  + jnp.einsum("bp,pmn->bmn", s, pq[r])
+        rot = eye + jnp.einsum("bp,pmn->bmn", c - 1.0, pp[r], precision=prec) \
+                  + jnp.einsum("bp,pmn->bmn", s, pq[r], precision=prec)
         mat = jnp.einsum("bji,bjk,bkl->bil", rot, mat, rot, precision=prec)
         vecs = jnp.einsum("bij,bjk->bik", vecs, rot, precision=prec)
         return mat, vecs

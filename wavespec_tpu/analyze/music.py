@@ -197,7 +197,8 @@ def _refine_freq(
     return freq
 
 
-def _sinusoid_fit(windows: jax.Array, freq: jax.Array, refine: int = 2):
+def _sinusoid_fit(windows: jax.Array, freq: jax.Array, refine: int = 2,
+                  valid: jax.Array | None = None):
     """LS fit of k sinusoids: x[t] ~ sum_j a_j cos(w_j t) + b_j sin(w_j t).
 
     windows [..., n], freq [..., k] (cycles/bar). Matrix-free normal
@@ -205,12 +206,21 @@ def _sinusoid_fit(windows: jax.Array, freq: jax.Array, refine: int = 2):
     c <- c + (2/n) H^T (x - H c). Near-orthogonal columns (distinct
     frequencies over n >> period) make this converge geometrically.
 
+    `valid` masks out columns for windows with fewer than k genuine peaks:
+    invalid picks all collapse to the same argmax-of-zeros frequency, and
+    duplicated columns make the refinement iteration DIVERGE (the update
+    has per-pass error multiplier (1 - m) for m duplicates), which would
+    pollute resid_energy — and hence snr/score — of the valid cycles.
+
     Returns (a [..., k], b [..., k], residual_energy [...]).
     """
     n = windows.shape[-1]
     t = jnp.arange(n, dtype=jnp.float32)
     ang = 2.0 * jnp.pi * freq[..., None] * t  # [..., k, n]
     cos_t, sin_t = jnp.cos(ang), jnp.sin(ang)
+    if valid is not None:
+        cos_t = cos_t * valid[..., None]
+        sin_t = sin_t * valid[..., None]
 
     def ht_x(v):  # H^T v: [..., n] -> [..., 2k]
         return (
@@ -219,8 +229,10 @@ def _sinusoid_fit(windows: jax.Array, freq: jax.Array, refine: int = 2):
         )
 
     def h_c(a, b):  # H c: [..., k] -> [..., n]
-        return jnp.einsum("...k,...kn->...n", a, cos_t, precision=jax.lax.Precision.HIGHEST) + jnp.einsum(
-            "...k,...kn->...n", b, sin_t
+        return jnp.einsum(
+            "...k,...kn->...n", a, cos_t, precision=jax.lax.Precision.HIGHEST
+        ) + jnp.einsum(
+            "...k,...kn->...n", b, sin_t, precision=jax.lax.Precision.HIGHEST
         )
 
     scale = 2.0 / n
@@ -267,7 +279,7 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     grid_step = 1.0 / (cfg.music_grid_per_bin * n)
     freq = _refine_freq(windows, freq, step=grid_step)
 
-    a, b, resid_energy = _sinusoid_fit(windows, freq)
+    a, b, resid_energy = _sinusoid_fit(windows, freq, valid=valid.astype(jnp.float32))
     amp = jnp.sqrt(a * a + b * b)
     # x = a cos + b sin = amp * sin(w t + psi), psi = atan2(a, b)
     psi = jnp.arctan2(a, b)

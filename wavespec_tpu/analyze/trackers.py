@@ -206,6 +206,11 @@ def tracker_step(state: TrackerState, frame, cfg: TrackerConfig):
 
     # --- leakage detection per slot ---
     active_now = alive & seen
+    # NOTE: the bars_inactive <= leak_min_bars clause is vacuous here —
+    # candidates already require active_now (bars_inactive == 0). The
+    # reference has the same redundancy: `DetectLeakages` skips trackers
+    # with bars_inactive > 0 before `IsLeakage` re-checks the threshold
+    # (`...pla-kalman.mq5:1733` vs `:1695`). Kept for contract parity.
     cand_is_leak = (
         active_now[None, :]
         & slot_valid[:, None]

@@ -37,7 +37,7 @@ from wavespec_tpu.extract import (
 )
 from wavespec_tpu.feeds.tick import build_tick_series as _build_tick_series
 from wavespec_tpu.feeds.zigzag import ZigZagConfig
-from wavespec_tpu.kernels.mxu_fft import rfft_mxu
+from wavespec_tpu.kernels.mxu_fft import irfft_mxu, rfft_mxu
 from wavespec_tpu.mesh.segmented import MixMode, fft_segmented
 from wavespec_tpu.ops import preproc
 from wavespec_tpu.ops.detrend import remove_dc as _remove_dc
@@ -96,8 +96,18 @@ def gpu_fft_real_forward(series) -> np.ndarray:
 
 
 def gpu_fft_real_inverse(spec_interleaved) -> np.ndarray:
-    """Inverse of `gpu_fft_real_forward` (`1.0.4-core.mq5:65`)."""
-    return np.asarray(irfft_from_interleaved(jnp.asarray(spec_interleaved, jnp.float32)))
+    """Inverse of `gpu_fft_real_forward` (`1.0.4-core.mq5:65`).
+
+    Power-of-two lengths go through the MXU synthesis (`irfft_mxu`) — the
+    production TPU runtime has no jnp.fft lowering at all.
+    """
+    x = jnp.asarray(spec_interleaved, jnp.float32)
+    n = x.shape[-1]
+    if n & (n - 1) == 0 and n >= 16:
+        pairs = x.reshape(*x.shape[:-1], n // 2, 2)
+        spec = jax.lax.complex(pairs[..., 0], pairs[..., 1])
+        return np.asarray(irfft_mxu(spec, n))
+    return np.asarray(irfft_from_interleaved(x))
 
 
 def gpu_fft_real_forward_batch(series, window_len: int, n_windows: int) -> np.ndarray:

@@ -39,6 +39,7 @@ STFT windows as a single batched MXU DFT — no per-window dispatch.
 from __future__ import annotations
 
 import dataclasses
+import math
 import enum
 from functools import partial
 
@@ -298,19 +299,42 @@ def frame_series(series: jax.Array, window: int, hop: int) -> jax.Array:
     """Strided window matrix ``[nwin, window]`` from a 1-D series.
 
     TPU note: a naive ``series[idx]`` lowers to a general gather that costs
-    ~100x the rest of the extraction pipeline. When ``hop`` divides
-    ``window`` the frames are assembled instead from pure static slices of
-    the ``[len/hop, hop]`` block view (``F[w, c*hop+r] = B[w+c, r]``),
-    which XLA lowers to copies at HBM bandwidth.
+    ~100x the rest of the extraction pipeline. With g = gcd(window, hop)
+    the frames are instead assembled from ``window/g`` strided-slice views
+    of the ``[len/g, g]`` block view
+    (``F[w, c*g + r] = B[w*(hop/g) + c, r]``), which XLA lowers to copies
+    at HBM bandwidth. The gather fallback only remains for degenerate
+    splits (> 512 slices).
     """
     n = series.shape[-1]
     nwin = 1 + (n - window) // hop
     series = series.astype(jnp.float32)
-    if hop <= window and window % hop == 0:
-        q = n // hop
-        b = series[: q * hop].reshape(q, hop)
-        parts = [b[c : c + nwin] for c in range(window // hop)]
+    g = math.gcd(window, hop)
+    n_slices = window // g
+    if n_slices <= 512:
+        hop_g = hop // g
+        q = n // g
+        b = series[: q * g].reshape(q, g)
+        last = (nwin - 1) * hop_g
+        parts = [b[c : c + last + 1 : hop_g] for c in range(n_slices)]
         return jnp.concatenate(parts, axis=1)
+
+    # Small hop (e.g. the hop=1 batch warmup): two-level framing. Coarse
+    # frames of length window+H at stride H (H | window -> window/H + 1
+    # block slices), then each fine offset is a static slice of the coarse
+    # frame's second axis: F[m*(H/hop) + o] = Fb[m, o*hop : o*hop+window].
+    h = 64 if window % 64 == 0 else g
+    if hop < h and h % hop == 0 and window % h == 0:
+        per_coarse = h // hop
+        m_max = (nwin - 1) // per_coarse
+        needed = window + h + m_max * h
+        if needed > n:  # zero-pad: padded samples only land in discarded
+            series = jnp.pad(series, (0, needed - n))  # rows (w >= nwin)
+        coarse = frame_series(series, window + h, h)[: m_max + 1]
+        offs = [coarse[:, o * hop : o * hop + window] for o in range(per_coarse)]
+        stacked = jnp.stack(offs, axis=1)  # [m, H/hop, window]
+        return stacked.reshape(-1, window)[:nwin]
+
     starts = jnp.arange(nwin) * hop
     idx = starts[:, None] + jnp.arange(window)[None, :]
     return series[idx]

@@ -80,7 +80,6 @@ def kalman4d_filter(measurements: jax.Array, cfg: Kalman4DConfig = Kalman4DConfi
         jnp.float32,
     )
     r = max(1e-9, cfg.r)
-    p_floor = jnp.asarray(np.eye(4, dtype=np.float32) * 1e-12)
 
     def single(series):
         z0 = series[0]

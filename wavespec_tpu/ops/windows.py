@@ -30,6 +30,24 @@ class WindowType(enum.IntEnum):
     BARTLETT = 4
 
 
+def _window_np(n: int, wt: WindowType) -> np.ndarray:
+    """Host-side float64 coefficients (single source for both the device
+    vector and scalar derivations like the coherent gain)."""
+    if n <= 1 or wt == WindowType.NONE:
+        return np.ones((n,), dtype=np.float64)
+    i = np.arange(n, dtype=np.float64)
+    x = 2.0 * np.pi * i / (n - 1)
+    if wt == WindowType.HANN:
+        return 0.5 * (1.0 - np.cos(x))
+    if wt == WindowType.HAMMING:
+        return 0.54 - 0.46 * np.cos(x)
+    if wt == WindowType.BLACKMAN:
+        return 0.42 - 0.5 * np.cos(x) + 0.08 * np.cos(2.0 * x)
+    if wt == WindowType.BARTLETT:
+        return 1.0 - np.abs((2.0 * i - (n - 1)) / (n - 1))
+    raise ValueError(f"unknown window type {wt}")  # pragma: no cover
+
+
 def window_coefficients(
     n: int, window_type: WindowType | int, dtype=jnp.float32
 ) -> jax.Array:
@@ -37,28 +55,10 @@ def window_coefficients(
 
     ``n`` must be static (Python int): the reference enforces power-of-2
     windows (`Legacy/WaveSpecZZ_1.0.4-kalman.mq5:62-66`) and we keep shapes
-    static for XLA.
+    static for XLA. Computed host-side so it stays a true constant even
+    when called inside a jit trace.
     """
-    wt = WindowType(int(window_type))
-    if n <= 1:
-        return jnp.ones((n,), dtype=dtype)
-    # Computed host-side in float64 so it stays a true constant even when
-    # called inside a jit trace (and can be consumed by trace-time Python).
-    i = np.arange(n, dtype=np.float64)
-    x = 2.0 * np.pi * i / (n - 1)
-    if wt == WindowType.NONE:
-        w = np.ones((n,), dtype=np.float64)
-    elif wt == WindowType.HANN:
-        w = 0.5 * (1.0 - np.cos(x))
-    elif wt == WindowType.HAMMING:
-        w = 0.54 - 0.46 * np.cos(x)
-    elif wt == WindowType.BLACKMAN:
-        w = 0.42 - 0.5 * np.cos(x) + 0.08 * np.cos(2.0 * x)
-    elif wt == WindowType.BARTLETT:
-        w = 1.0 - np.abs((2.0 * i - (n - 1)) / (n - 1))
-    else:  # pragma: no cover - exhaustive enum
-        raise ValueError(f"unknown window type {window_type}")
-    return jnp.asarray(w, dtype=dtype)
+    return jnp.asarray(_window_np(n, WindowType(int(window_type))), dtype=dtype)
 
 
 def coherent_gain(n: int, window_type: WindowType | int) -> float:
@@ -66,20 +66,9 @@ def coherent_gain(n: int, window_type: WindowType | int) -> float:
 
     Scales |X_k| back to true sinusoid amplitude: amp = 2|X_k| / (N * cg).
     """
-    wt = WindowType(int(window_type))
-    if wt == WindowType.NONE or n <= 1:
+    if n <= 1:
         return 1.0
-    i = np.arange(n, dtype=np.float64)
-    x = 2.0 * np.pi * i / (n - 1)
-    if wt == WindowType.HANN:
-        w = 0.5 * (1.0 - np.cos(x))
-    elif wt == WindowType.HAMMING:
-        w = 0.54 - 0.46 * np.cos(x)
-    elif wt == WindowType.BLACKMAN:
-        w = 0.42 - 0.5 * np.cos(x) + 0.08 * np.cos(2.0 * x)
-    else:  # BARTLETT
-        w = 1.0 - np.abs((2.0 * i - (n - 1)) / (n - 1))
-    return float(w.mean())
+    return float(_window_np(n, WindowType(int(window_type))).mean())
 
 
 @partial(jax.jit, static_argnames=("window_type",))

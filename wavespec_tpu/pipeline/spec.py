@@ -134,9 +134,13 @@ def run_pipeline(series: jax.Array, spec: PipelineSpec):
     for st in spec.freq_stages:
         spec_bins = _apply_freq_stage(spec_bins, st)
 
+    # Freq stages may change the bin count (spectral upscale); derive the
+    # effective transform length from the surviving bins so group delay
+    # (domega = 2*pi/n_eff) and the inverse synthesis stay consistent.
+    n_eff = 2 * spec_bins.shape[-1]
     ph = fft_phase(spec_bins)
     uw = unwrap_phase(ph)
-    gd = group_delay(uw, spec.extract.window)
+    gd = group_delay(uw, n_eff)
 
     rcfg = dataclasses.replace(spec.reconstruct, max_waves=spec.wave_slots)
     decoded = decode_causal(attrs[None, ...], rcfg)
@@ -155,7 +159,7 @@ def run_pipeline(series: jax.Array, spec: PipelineSpec):
         ),  # sum of per-cycle one-step predictions (KALMAN_PRED field)
     }
     if spec.emit_filtered:
-        out["filtered"] = irfft_mxu(spec_bins, spec.extract.window)
+        out["filtered"] = irfft_mxu(spec_bins, n_eff)
     return out
 
 

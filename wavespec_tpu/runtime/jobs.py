@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import ctypes
 import threading
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Callable
 
@@ -86,6 +87,7 @@ class JobQueue:
                 ready, res = self._native_try_get(job_id)
                 if ready:
                     return res
+                time.sleep(0.001)  # the reference's Sleep(1) drain cadence
         if isinstance(out, Future):
             return out.result()
         for leaf in jax.tree.leaves(out):
