@@ -242,3 +242,16 @@ def test_auto_method_selects_music_when_confident():
     noise = planted_series(1024, [], noise=1.0, seed=9)
     attrs_n = np.asarray(extract_cycles(jnp.asarray(noise), cfg))
     assert np.all(attrs_n[:, METHOD_ID] == 0.0)  # no structure -> FFT ridge
+
+
+def test_esprit_frequencies_match_planted():
+    from wavespec_tpu.analyze.esprit import esprit_frequencies
+    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
+
+    cfg = music_cfg(window=2048, ar_order=12, min_period=10.0)
+    x = planted_series(2048, [(2.0, 64.0, 0.3), (1.0, 30.0, 1.2)], noise=0.1)
+    xw = np.asarray(ehlers_highpass_detrend(jnp.asarray(x), 400))
+    freqs = esprit_frequencies(xw[None, :], cfg)[0]
+    got = sorted(1.0 / f for f in freqs if f > 0)
+    assert len(got) == 2
+    np.testing.assert_allclose(got, [30.0, 64.0], rtol=0.05)
