@@ -188,3 +188,29 @@ def test_build_tick_series_epoch_timestamps():
     diffs = np.diff(out)
     assert (diffs > 0).all()
     np.testing.assert_allclose(diffs, 2.0, atol=0.5)
+
+
+def test_feed_pool_lru_and_versioning():
+    from wavespec_tpu.feeds import FeedPool, ZigMode
+
+    calls = []
+
+    def fetch_for(tf):
+        def fetch():
+            calls.append(tf)
+            high, low = zig_prices(200)
+            return high, low
+        return fetch
+
+    pool = FeedPool(capacity=2)
+    pool.get_zigzag_feed("EURUSD", "M1", fetch_for("M1"), ZigMode.MID, version=0)
+    pool.get_zigzag_feed("EURUSD", "M1", fetch_for("M1"), ZigMode.MID, version=0)
+    assert calls == ["M1"]  # cached
+    pool.get_zigzag_feed("EURUSD", "M1", fetch_for("M1"), ZigMode.MID, version=1)
+    assert calls == ["M1", "M1"]  # version bump rebuilds
+    pool.get_zigzag_feed("EURUSD", "M5", fetch_for("M5"), ZigMode.MID, version=0)
+    pool.get_zigzag_feed("EURUSD", "H1", fetch_for("H1"), ZigMode.MID, version=0)
+    # capacity 2: M1 evicted
+    assert pool.active_timeframes() == ["M5", "H1"]
+    pool.get_zigzag_feed("EURUSD", "M1", fetch_for("M1"), ZigMode.MID, version=1)
+    assert calls == ["M1", "M1", "M5", "H1", "M1"]
