@@ -1,5 +1,10 @@
 """Regenerate the golden extraction fixture (run deliberately, on CPU)."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -255,3 +255,27 @@ def test_esprit_frequencies_match_planted():
     got = sorted(1.0 / f for f in freqs if f > 0)
     assert len(got) == 2
     np.testing.assert_allclose(got, [30.0, 64.0], rtol=0.05)
+
+
+def test_music_flagship_defaults_on_drifting_feed():
+    """Flagship regime (top_k=4, ar_order=10 -> tiny fixed noise subspace)
+    on a drifting feed: the eigenvalue-gated noise subspace must prevent
+    band-edge super-peaks and still find the true cycles."""
+    cfg = ExtractConfig(window=4096, top_k=4, min_period=9.0, max_period=200.0,
+                        method=Method.MUSIC, ar_order=10)
+    t = np.arange(6000)
+    x = (100.0 + np.cumsum(0.02 * np.random.default_rng(7).standard_normal(6000))
+         + 2.5 * np.sin(2 * np.pi * t / 48 + 0.4)
+         + 1.2 * np.sin(2 * np.pi * t / 130 + 1.1)).astype(np.float32)
+    attrs = np.asarray(extract_cycles(jnp.asarray(x[-4096:]), cfg))
+    periods = attrs[:, PERIOD]
+    amps = attrs[:, AMPLITUDE]
+    # both planted cycles present with sane amplitudes
+    i48 = int(np.argmin(np.abs(periods - 48)))
+    i130 = int(np.argmin(np.abs(periods - 130)))
+    assert abs(periods[i48] - 48) / 48 < 0.05, periods
+    assert abs(periods[i130] - 130) / 130 < 0.08, periods
+    assert abs(amps[i48] - 2.5) / 2.5 < 0.25, amps
+    # the strongest pick is a planted cycle, not a band-edge drift peak
+    top = periods[np.argmax(amps)]
+    assert abs(top - 48) < 5 or abs(top - 130) < 12, periods

@@ -11,8 +11,10 @@ Pipeline (one jitted program, batched over windows):
 
 1. Toeplitz autocovariance of order m=ar_order via lag matmuls.
 2. Batched Jacobi eigh (wavespec_tpu.analyze.jacobi) -> signal/noise split:
-   signal dim p = min(2*top_k, m-2) (a real sinusoid spans 2 complex
-   exponentials).
+   per sub-band signal dim p = 2*music_signals_per_band (a real sinusoid
+   spans 2 complex exponentials; each band only needs to localize a couple
+   of cycles, and a small p keeps a deep noise projector — the final
+   ranking over all bands' candidates is by fitted power).
 3. Noise-subspace pseudospectrum P(w) = 1 / ||a(w)^H E_n||^2 evaluated on a
    dense in-band frequency grid — two [G, m] @ [m, m-p] matmuls.
 4. Top-k local maxima of P -> cycle frequencies (super-resolution: the grid
@@ -28,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from wavespec_tpu.analyze.jacobi import jacobi_eigh
 from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
@@ -91,73 +94,179 @@ def _decimate_box(windows: jax.Array, d: int) -> jax.Array:
     return jnp.mean(x.reshape(*x.shape[:-1], n_keep // d, d), axis=-1)
 
 
-def _freq_grid(cfg) -> jnp.ndarray:
-    """Static in-band frequency grid (cycles/bar), music_grid_per_bin x finer
-    than the FFT bin spacing."""
+def _band_plan(cfg) -> list[tuple[float, float, int]]:
+    """Octave-style sub-band plan: (lo_period, hi_period, decimation).
+
+    A single decimation cannot serve a wide band like [9, 200]: the
+    aperture m*D must approach the longest period while min_period/D stays
+    above decimated Nyquist. Splitting into ~3x-ratio sub-bands gives each
+    its own aperture: D_b targets hi_b/m, clipped by lo_b/2.2.
+    `music_bands` forces a count (1 = legacy single band); 0 = auto.
+    """
+    import math
+
+    if cfg.music_bands == 1 or cfg.max_period <= cfg.min_period:
+        return [(cfg.min_period, cfg.max_period, _auto_decimation(cfg))]
+    ratio = cfg.max_period / cfg.min_period
+    n_bands = cfg.music_bands or max(1, math.ceil(math.log(ratio) / math.log(3.0)))
+    edges = [
+        cfg.min_period * ratio ** (i / n_bands) for i in range(n_bands + 1)
+    ]
+    bands = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        if cfg.music_decimation:
+            d = int(cfg.music_decimation)
+        else:
+            d = max(1, min(round(hi / cfg.ar_order), int(lo / 2.2)))
+        bands.append((lo, hi, max(1, d)))
+    return bands
+
+
+def _freq_grid_band(cfg, lo: float, hi: float):
+    """Frequency grid (cycles/bar) for a sub-band plus a core mask.
+
+    The grid extends one FFT bin beyond the band's core on each side
+    (clipped to the FULL analysis band) so that every core frequency has
+    genuine same-band neighbors for the local-maximum test; only core
+    points may be picked — without this, per-band normalization
+    discontinuities at the concatenation boundaries masquerade as peaks.
+    """
     n = cfg.window
-    k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
     g = cfg.music_grid_per_bin
-    # grid bins k_min .. k_max step 1/g (inclusive band edges)
-    kg = k_min + jnp.arange((k_max - k_min) * g + 1) / g
-    return kg / n  # cycles/bar
+    k_lo_full, k_hi_full = band_indices(n, cfg.min_period, cfg.max_period)
+    k_min, k_max = band_indices(n, lo, hi)
+    ext_min = max(k_lo_full, k_min - 1)
+    ext_max = min(k_hi_full, k_max + 1)
+    kg = ext_min + np.arange(max(1, (ext_max - ext_min) * g + 1)) / g
+    core = (kg >= k_min) & (kg <= k_max)
+    # never mask the full band's outermost edges
+    core |= kg <= k_lo_full
+    core |= kg >= k_hi_full
+    return jnp.asarray(kg / n, jnp.float32), jnp.asarray(core)
 
 
 def music_pseudospectrum(windows: jax.Array, cfg):
-    """Noise-subspace pseudospectrum over the in-band grid.
+    """Multi-resolution noise-subspace pseudospectrum over the band.
 
-    Returns (pseudo [..., G], freqs [G] cycles/bar, eigvals [..., m]).
-    The covariance is taken on a box-decimated copy of the window (see
-    `_auto_decimation`); the steering vectors absorb the factor D so the
-    grid stays in full-rate cycles/bar.
+    Per sub-band (see `_band_plan`): box-decimated covariance -> batched
+    Jacobi eigh (ALL bands stacked into one eigh call — the sequential
+    rotation chain is the latency cost and batching is free) -> eigenvalue-
+    gated noise projector -> band-grid pseudospectrum, normalized by its
+    band mean so bands are comparable.
+
+    The eigenvalue gate matters at flagship defaults (top_k=4, ar_order=10):
+    a fixed m-2k split leaves a 2-dim noise subspace, fragile under colored
+    random-walk residue, which otherwise manufactures band-edge super-peaks.
+    Directions whose eigenvalue is below gate x noise_floor join the noise
+    projector per window.
+
+    Returns (pseudo [..., G], freqs [G] cycles/bar, eigvals [..., R, m],
+    core [G] bool — only core points are peak candidates, band_slices —
+    static (start, stop) of each sub-band inside the merged grid).
     """
     m = cfg.ar_order
-    p = 2 * cfg.top_k
+    s_eff = min(cfg.music_signals_per_band, cfg.top_k)
+    p = 2 * s_eff
     if m < p + 2:
         raise ValueError(
-            f"ar_order={m} too small for top_k={cfg.top_k}: need ar_order >= 2*top_k+2"
+            f"ar_order={m} too small: need ar_order >= "
+            f"2*min(music_signals_per_band, top_k)+2 = {p + 2}"
         )
-    d = _auto_decimation(cfg)
-    xd = _decimate_box(windows, d)
-    r = _autocov_toeplitz(xd, m)
-    eigvals, eigvecs = jacobi_eigh(r)
-    # ascending order -> noise subspace = first m-p columns
-    noise = eigvecs[..., : m - p]  # [..., m, m-p]
+    bands = _band_plan(cfg)
 
-    freqs = _freq_grid(cfg)
-    taps = jnp.arange(m, dtype=jnp.float32) * d
-    ang = 2.0 * jnp.pi * freqs[:, None] * taps[None, :]  # [G, m]
-    cos_g, sin_g = jnp.cos(ang), jnp.sin(ang)
-    # ||a(w)^H E_n||^2 = ||C E_n||^2 + ||S E_n||^2 rowwise
-    cn = jnp.einsum("gm,...mp->...gp", cos_g, noise, precision=jax.lax.Precision.HIGHEST)
-    sn = jnp.einsum("gm,...mp->...gp", sin_g, noise, precision=jax.lax.Precision.HIGHEST)
-    den = jnp.sum(cn * cn + sn * sn, axis=-1)  # [..., G]
-    pseudo = 1.0 / jnp.maximum(den, 1e-12)
-    return pseudo, freqs, eigvals
+    # Per-band preconditioning: high-pass just above the band's own top
+    # period before the covariance, so longer cycles and random-walk
+    # residue (whose variance can dwarf in-band cycles) stay out of this
+    # band's subspace. This only steers LOCALIZATION — amplitude/phase are
+    # always fit on the (globally compensated) full-rate window.
+    covs = [
+        _autocov_toeplitz(
+            _decimate_box(
+                ehlers_highpass_detrend(windows, max(8, int(1.5 * hi))), d
+            ),
+            m,
+        )
+        for (_, hi, d) in bands
+    ]
+    r = jnp.stack(covs, axis=-3)  # [..., R, m, m]
+    eigvals, eigvecs = jacobi_eigh(r)  # [..., R, m], [..., R, m, m]
+
+    base_noise = jnp.arange(m) < (m - p)
+    if cfg.music_signal_gate > 0:
+        # Optional eigenvalue gate: candidate signal directions below
+        # gate x noise_floor join the noise projector. OFF by default:
+        # colored (random-walk) residue has LARGER eigenvalues than weak
+        # genuine cycle pairs, so magnitude gating can demote true cycles
+        # into the noise projector (P then dips at the true frequency).
+        # Localization robustness comes from the multi-band split; final
+        # ranking is by fitted power, not pseudospectrum magnitude.
+        noise_floor = jnp.mean(eigvals[..., : m - p], axis=-1, keepdims=True)
+        is_noise = eigvals <= cfg.music_signal_gate * jnp.maximum(noise_floor, 1e-30)
+        w_noise = (is_noise | base_noise).astype(eigvecs.dtype)
+    else:
+        w_noise = jnp.broadcast_to(
+            base_noise.astype(eigvecs.dtype), eigvals.shape
+        )  # [..., R, m]
+
+    pseudos = []
+    freq_parts = []
+    core_parts = []
+    for bi, (lo, hi, d) in enumerate(bands):
+        freqs_b, core_b = _freq_grid_band(cfg, lo, hi)
+        taps = jnp.arange(m, dtype=jnp.float32) * d
+        ang = 2.0 * jnp.pi * freqs_b[:, None] * taps[None, :]  # [Gb, m]
+        cos_g, sin_g = jnp.cos(ang), jnp.sin(ang)
+        vecs_b = eigvecs[..., bi, :, :]
+        cn = jnp.einsum("gm,...mp->...gp", cos_g, vecs_b,
+                        precision=jax.lax.Precision.HIGHEST)
+        sn = jnp.einsum("gm,...mp->...gp", sin_g, vecs_b,
+                        precision=jax.lax.Precision.HIGHEST)
+        den = jnp.sum((cn * cn + sn * sn) * w_noise[..., bi, None, :], axis=-1)
+        pseudo_b = 1.0 / jnp.maximum(den, 1e-12)
+        # normalize per band so merged peaks are comparable across bands
+        pseudo_b = pseudo_b / jnp.mean(pseudo_b, axis=-1, keepdims=True)
+        pseudos.append(pseudo_b)
+        freq_parts.append(freqs_b)
+        core_parts.append(core_b)
+
+    pseudo = jnp.concatenate(pseudos, axis=-1)
+    freqs = jnp.concatenate(freq_parts, axis=0)
+    core = jnp.concatenate(core_parts, axis=0)
+    slices = []
+    start = 0
+    for fp in freq_parts:
+        slices.append((start, start + fp.shape[0]))
+        start += fp.shape[0]
+    return pseudo, freqs, eigvals, core, tuple(slices)
 
 
-def _topk_local_maxima(pseudo: jax.Array, k: int, excl: int):
+def _topk_local_maxima(pseudo: jax.Array, freqs: jax.Array, k: int, excl: float,
+                       candidate: jax.Array | None = None):
     """Top-k local maxima with a +/-`excl`-point exclusion zone per pick.
 
     Noise makes the pseudospectrum jagged: adjacent grid points can both be
     strict local maxima of the same physical peak, so a plain top-k returns
     near-duplicate frequencies (and the downstream sinusoid fit then sees
-    nearly collinear columns). We pick greedily, masking +/-excl grid
-    points (one FFT bin's worth) around each accepted peak.
+    nearly collinear columns). We pick greedily, masking a +/-`excl`
+    FREQUENCY radius around each accepted peak — the merged multi-band
+    grid is non-uniform, so index distance would miss duplicates at band
+    boundaries.
     """
     left = jnp.concatenate([pseudo[..., :1], pseudo[..., :-1]], axis=-1)
     right = jnp.concatenate([pseudo[..., 1:], pseudo[..., -1:]], axis=-1)
     is_peak = (pseudo >= left) & (pseudo > right)
+    if candidate is not None:
+        is_peak = is_peak & candidate
     masked = jnp.where(is_peak, pseudo, jnp.zeros_like(pseudo))
 
-    g = pseudo.shape[-1]
-    grid_pos = jnp.arange(g)
     vals, idxs = [], []
     for _ in range(k):
         v = jnp.max(masked, axis=-1)
         i = jnp.argmax(masked, axis=-1)
         vals.append(v)
         idxs.append(i)
-        far = jnp.abs(grid_pos - i[..., None]) > excl
+        f_pick = freqs[i]
+        far = jnp.abs(freqs - f_pick[..., None]) > excl
         masked = jnp.where(far, masked, 0.0)
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
@@ -260,7 +369,7 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     n = cfg.window
     k = cfg.top_k
     m = cfg.ar_order
-    p = 2 * k
+    p = 2 * min(cfg.music_signals_per_band, k)
 
     # Subspace preconditioning: MUSIC models sinusoids in white-ish noise;
     # raw price is a random walk whose low-frequency power swamps the
@@ -271,13 +380,60 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     if cfg.music_highpass:
         windows = ehlers_highpass_detrend(windows, hp_period)
 
-    pseudo, freqs, eigvals = music_pseudospectrum(windows, cfg)
-    vals, gidx = _topk_local_maxima(pseudo, k, excl=cfg.music_grid_per_bin)
-    freq = freqs[gidx]  # [..., k]
+    pseudo, freqs, eigvals, core, band_slices = music_pseudospectrum(windows, cfg)
+
+    # Candidate stage: top-k local maxima PER SUB-BAND (exclusion radius =
+    # one FFT bin of frequency). Cross-band pseudospectrum magnitudes are
+    # not comparable (each band has its own noise projector), so the final
+    # ranking happens after the joint fit, by fitted power.
+    cand_vals, cand_gidx = [], []
+    for (s0, s1) in band_slices:
+        v_b, g_b = _topk_local_maxima(
+            pseudo[..., s0:s1], freqs[s0:s1], k, excl=1.0 / n,
+            candidate=core[s0:s1],
+        )
+        cand_vals.append(v_b)
+        cand_gidx.append(g_b + s0)
+    vals = jnp.concatenate(cand_vals, axis=-1)    # [..., C]
+    gidx = jnp.concatenate(cand_gidx, axis=-1)
+    freq = freqs[gidx]                            # [..., C]
     valid = vals > 0
+
+    # Periodogram-seeded candidates: the FFT-ridge top-k bins join the
+    # candidate set. Colored (random-walk) residue can bias the subspace
+    # peaks by several bins while the per-bin periodogram still nails a
+    # strong line; the fit-power ranking below keeps whichever
+    # localization carries more energy, so the MUSIC method never places
+    # WORSE than the ridge on strong cycles (and still super-resolves
+    # clean ones). Coherence for seeded candidates is read off the merged
+    # pseudospectrum like any other pick.
+    from wavespec_tpu.kernels.mxu_fft import rfft_mxu
+
+    k_min_fb, k_max_fb = band_indices(n, cfg.min_period, cfg.max_period)
+    spec_fb = rfft_mxu(windows, max_bins=k_max_fb + 1)
+    band_power = (jnp.real(spec_fb) ** 2 + jnp.imag(spec_fb) ** 2)[
+        ..., k_min_fb : k_max_fb + 1
+    ]
+    rp, ridx = jax.lax.top_k(band_power, k)
+    ridge_freq = (ridx + k_min_fb).astype(jnp.float32) / n
+    ridge_gidx = jnp.clip(
+        jnp.searchsorted(freqs, ridge_freq), 0, freqs.shape[0] - 1
+    )
+    freq = jnp.concatenate([freq, ridge_freq], axis=-1)
+    gidx = jnp.concatenate([gidx, ridge_gidx], axis=-1)
+    vals = jnp.concatenate([vals, jnp.take_along_axis(pseudo, ridge_gidx, axis=-1)], axis=-1)
+    valid = jnp.concatenate([valid, rp > 0], axis=-1)
 
     grid_step = 1.0 / (cfg.music_grid_per_bin * n)
     freq = _refine_freq(windows, freq, step=grid_step)
+
+    # Dedupe candidates that refined onto the same frequency (band-overlap
+    # duplicates): keep the first of any pair closer than half a bin.
+    df = jnp.abs(freq[..., :, None] - freq[..., None, :])
+    c_count = freq.shape[-1]
+    earlier = jnp.tril(jnp.ones((c_count, c_count), bool), k=-1)
+    dup = ((df < 0.5 / n) & earlier & valid[..., None, :]).any(axis=-1)
+    valid = valid & ~dup
 
     a, b, resid_energy = _sinusoid_fit(windows, freq, valid=valid.astype(jnp.float32))
     amp = jnp.sqrt(a * a + b * b)
@@ -324,12 +480,23 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
         )
     coherence = vals / jnp.maximum(nb_sum, 1e-30)
 
-    # Eigen ratio: mean signal eigenvalue / mean noise eigenvalue.
+    # Eigen ratio: mean signal eigenvalue / mean noise eigenvalue, best
+    # sub-band (eigvals [..., R, m]).
     sig_mean = jnp.mean(eigvals[..., m - p :], axis=-1)
     noi_mean = jnp.maximum(jnp.mean(eigvals[..., : m - p], axis=-1), 1e-30)
     # Cap: noiseless windows drive the noise eigenvalues to f32 underflow.
-    ratio = jnp.clip(sig_mean / noi_mean, 0.0, 1e6)
+    ratio = jnp.max(jnp.clip(sig_mean / noi_mean, 0.0, 1e6), axis=-1)
     eigen_ratio = jnp.broadcast_to(ratio[..., None], amp.shape)
+
+    # Final ranking: top_k candidates by fitted power (physical energy in
+    # the window — comparable across sub-bands).
+    rank_key = jnp.where(valid, power, -1.0)
+    _, top_idx = jax.lax.top_k(rank_key, k)
+    take = lambda arr: jnp.take_along_axis(arr, top_idx, axis=-1)
+    freq, amp, phase_end = take(freq), take(amp), take(phase_end)
+    power, coherence = take(power), take(coherence)
+    valid = take(valid.astype(jnp.int32)).astype(bool)
+    eigen_ratio = take(eigen_ratio)
 
     return _attrs_from_peaks(
         freq, amp, phase_end, power, valid, total_inband, noise_floor,

@@ -121,6 +121,17 @@ class ExtractConfig:
     # method=AUTO: keep MUSIC records when the window's signal/noise
     # eigenvalue ratio is at least this; fall back to FFT ridge otherwise.
     auto_eigen_threshold: float = 10.0
+    # Optional eigenvalue gate for the MUSIC noise subspace (0 = off; see
+    # analyze.music.music_pseudospectrum for why off is the safe default).
+    music_signal_gate: float = 0.0
+    # Multi-resolution MUSIC sub-band count: 0 = auto (~3x period ratio
+    # per band), 1 = single legacy band, n = force n bands.
+    music_bands: int = 0
+    # Assumed sinusoids per sub-band (signal subspace dim = 2x this, capped
+    # by top_k). Small values keep a deep noise projector per band; the
+    # cross-band ranking is by fitted power, so top_k total cycles still
+    # emerge.
+    music_signals_per_band: int = 2
 
     def __post_init__(self):
         if self.window & (self.window - 1) or self.window < 16:
