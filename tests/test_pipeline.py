@@ -179,3 +179,19 @@ def test_online_driver_backfill_and_live_caps():
     wave = out["wave"]
     assert (wave[: 3000 - 50] == 0).all()
     assert np.abs(wave[2990:]).sum() > 0
+
+
+def test_session_queue_depth_follows_streams():
+    s = Session()
+    s.init(0, 16)
+    assert s.queue.depth == 16
+    s.shutdown()
+
+
+def test_batch_warmup_respects_bars_limit(tmp_path):
+    ecfg = small_ecfg()
+    x = planted(4000)
+    bufs = batch_warmup(x, ecfg=ecfg, rcfg=ReconstructConfig(music_only=False),
+                        hop=128, batch_bars_limit=2000, cache_dir=None)
+    # limited to the trailing 2000 bars
+    assert bufs["wave1"].shape == (2000,)
