@@ -181,8 +181,8 @@ def music_pseudospectrum(windows: jax.Array, cfg):
     # always fit on the (globally compensated) full-rate window.
     covs = [
         _autocov_toeplitz(
-            _decimate_box(
-                ehlers_highpass_detrend(windows, max(8, int(1.5 * hi))), d
+            ehlers_highpass_detrend(
+                _decimate_box(windows, d), max(4, int(1.5 * hi / d))
             ),
             m,
         )
@@ -292,6 +292,7 @@ def _refine_freq(
         return c * c + s * s
 
     offsets = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+    p = None
     for _ in range(iters):
         cand = freq[..., None] + step * offsets  # [..., k, 3]
         p = periodogram(cand)
@@ -303,7 +304,7 @@ def _refine_freq(
         shift = jnp.clip(shift, -1.0, 1.0)
         freq = freq + shift * step
         step = step / 4.0
-    return freq
+    return freq, p[..., 1]
 
 
 def _sinusoid_fit(windows: jax.Array, freq: jax.Array, refine: int = 2,
@@ -425,7 +426,7 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     valid = jnp.concatenate([valid, rp > 0], axis=-1)
 
     grid_step = 1.0 / (cfg.music_grid_per_bin * n)
-    freq = _refine_freq(windows, freq, step=grid_step)
+    freq, pgram = _refine_freq(windows, freq, step=grid_step)
 
     # Dedupe candidates that refined onto the same frequency (band-overlap
     # duplicates): keep the first of any pair closer than half a bin.
@@ -434,6 +435,17 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     earlier = jnp.tril(jnp.ones((c_count, c_count), bool), k=-1)
     dup = ((df < 0.5 / n) & earlier & valid[..., None, :]).any(axis=-1)
     valid = valid & ~dup
+
+    # Cheap pre-ranking: the refinement's own final periodogram power is
+    # cross-band comparable; keep only the strongest 2k candidates for the
+    # (transcendental-heavy) joint fit.
+    keep = min(2 * k, c_count)
+    pre_key = jnp.where(valid, pgram, -1.0)
+    _, keep_idx = jax.lax.top_k(pre_key, keep)
+    take_c = lambda arr: jnp.take_along_axis(arr, keep_idx, axis=-1)
+    freq, valid = take_c(freq), take_c(valid.astype(jnp.int32)).astype(bool)
+    gidx = take_c(gidx)
+    vals = take_c(vals)
 
     a, b, resid_energy = _sinusoid_fit(windows, freq, valid=valid.astype(jnp.float32))
     amp = jnp.sqrt(a * a + b * b)
