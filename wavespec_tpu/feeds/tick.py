@@ -37,9 +37,9 @@ def resample_ticks(
     before that grid instant (forward fill; samples before the first tick
     hold the first tick's price)."""
     prices = tick_prices.astype(jnp.float32)
-    times = tick_times.astype(jnp.float64)
-    t_end = times[-1] if end_time is None else jnp.asarray(end_time, jnp.float64)
-    grid = t_end - interval_seconds * jnp.arange(window_len - 1, -1, -1, dtype=jnp.float64)
+    times = tick_times.astype(jnp.float32)
+    t_end = times[-1] if end_time is None else jnp.asarray(end_time, jnp.float32)
+    grid = t_end - interval_seconds * jnp.arange(window_len - 1, -1, -1, dtype=jnp.float32)
     idx = jnp.searchsorted(times, grid, side="right") - 1
     series = prices[jnp.clip(idx, 0, prices.shape[0] - 1)]
     if smoothing_window > 1:
