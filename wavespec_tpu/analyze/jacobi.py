@@ -15,8 +15,10 @@ over thousands of STFT windows. We implement Jacobi in pure JAX:
 - all matmuls pinned to HIGHEST precision (bf16 passes would corrupt the
   noise-subspace split).
 
-For m <= 32 and ~10 sweeps this converges to ~1e-7 off-diagonal mass,
-plenty for subspace splitting.
+For m <= 32 parallel-ordering converges to the f32 floor (~1e-7 relative
+eigenvalues) within 6 sweeps (verified against numpy.linalg.eigh up to
+sweeps=10 with identical error), so 6 is the default — the sweep count is
+the sequential latency of the whole MUSIC batch.
 """
 
 from __future__ import annotations
@@ -63,7 +65,7 @@ def _round_robin_plan(m: int):
 
 
 @partial(jax.jit, static_argnames=("sweeps",))
-def jacobi_eigh(a: jax.Array, sweeps: int = 10):
+def jacobi_eigh(a: jax.Array, sweeps: int = 6):
     """Eigendecomposition of symmetric ``a`` ``[..., m, m]``.
 
     Returns (eigenvalues ascending ``[..., m]``, eigenvectors ``[..., m, m]``
