@@ -165,3 +165,22 @@ def test_host_job_error_propagates():
             if ready:
                 break
             time.sleep(0.005)
+
+
+def test_cycle_cache_rejects_bad_header(tmp_path):
+    p = tmp_path / "bad.bin"
+    p.write_bytes(np.asarray([99, 10, 2], np.int32).tobytes() + b"\0" * 1600)
+    with pytest.raises(RuntimeError):
+        load_cycle_cache(p)
+
+
+def test_feed_cache_missing_file(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_feed_cache(tmp_path / "absent.bin")
+
+
+def test_feed_cache_truncated(tmp_path):
+    p = tmp_path / "trunc.bin"
+    p.write_bytes(struct.pack("<i", 100) + b"\0" * 64)  # claims 100 doubles
+    with pytest.raises(RuntimeError):
+        load_feed_cache(p)
