@@ -279,15 +279,3 @@ def test_music_flagship_defaults_on_drifting_feed():
     # the strongest pick is a planted cycle, not a band-edge drift peak
     top = periods[np.argmax(amps)]
     assert abs(top - 48) < 5 or abs(top - 130) < 12, periods
-
-
-def test_fast_select_mode_matches_highest():
-    """fast_select: same picks and full-precision amp/phase on clean data."""
-    cfg_hi = fft_cfg(top_k=2)
-    cfg_fs = fft_cfg(top_k=2, fft_precision="fast_select")
-    x = planted_series(1024, [(2.0, 64.0, 0.3), (1.0, 32.0, 1.0)], noise=0.05, seed=6)
-    a_hi = np.asarray(extract_cycles(jnp.asarray(x), cfg_hi))
-    a_fs = np.asarray(extract_cycles(jnp.asarray(x), cfg_fs))
-    np.testing.assert_array_equal(a_hi[:, PERIOD], a_fs[:, PERIOD])
-    np.testing.assert_allclose(a_fs[:, AMPLITUDE], a_hi[:, AMPLITUDE], rtol=1e-4)
-    np.testing.assert_allclose(a_fs[:, PHASE], a_hi[:, PHASE], atol=1e-3)

@@ -127,12 +127,6 @@ class ExtractConfig:
     # Multi-resolution MUSIC sub-band count: 0 = auto (~3x period ratio
     # per band), 1 = single legacy band, n = force n bands.
     music_bands: int = 0
-    # FFT-ridge DFT precision: "highest" (default; bf16x6, ~1e-7) or
-    # "fast_select" — the power spectrum used for SELECTION runs single-
-    # pass bf16 (~2e-3 relative power error; can only flip ranks of
-    # near-degenerate peaks), then re/im at the picked bins are recomputed
-    # EXACTLY by direct DFT, so amplitude/phase/eta keep full precision.
-    fft_precision: str = "highest"
     # Assumed sinusoids per sub-band (signal subspace dim = 2x this, capped
     # by top_k). Small values keep a deep noise projector per band; the
     # cross-band ranking is by fitted power, so top_k total cycles still
@@ -242,9 +236,7 @@ def _fft_ridge(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
     # band (+2 neighborhood bins) is computed — at the flagship band
     # [9, 200] that is 256 of 2048 bins, an 8x cut in row-DFT FLOPs.
     k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
-    fast = cfg.fft_precision == "fast_select"
-    spec = rfft_mxu(windows, max_bins=k_max + 3,
-                    precision="fast" if fast else "highest")
+    spec = rfft_mxu(windows, max_bins=k_max + 3)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
     # Static band slice: the top-k/sum run over the ~200 in-band bins.
@@ -286,19 +278,6 @@ def _fft_ridge(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
         precision=jax.lax.Precision.HIGHEST,
     )
     re_k, im_k, nb_sum = vals[..., 0], vals[..., 1], vals[..., 2]
-
-    if fast:
-        # fast_select mode: selection used single-pass bf16 power; the
-        # picked bins' re/im are now recomputed EXACTLY by direct DFT
-        # (one thin HIGHEST contraction per window) so amplitude/phase/eta
-        # keep full precision. Power-derived ratios (coherence, snr,
-        # energy) keep the ~2e-3 fast values — they are quality gauges.
-        t = jnp.arange(n, dtype=jnp.float32)
-        ang_kt = 2.0 * jnp.pi * freq[..., None] * t  # [..., k, n]
-        re_k = jnp.einsum("...n,...kn->...k", windows, jnp.cos(ang_kt),
-                          precision=jax.lax.Precision.HIGHEST)
-        im_k = -jnp.einsum("...n,...kn->...k", windows, jnp.sin(ang_kt),
-                           precision=jax.lax.Precision.HIGHEST)
 
     # Amplitude: |X_k| scaled by 2/N and the taper's coherent gain.
     cg = coherent_gain(n, cfg.taper)
