@@ -195,3 +195,13 @@ def test_batch_warmup_respects_bars_limit(tmp_path):
                         hop=128, batch_bars_limit=2000, cache_dir=None)
     # limited to the trailing 2000 bars
     assert bufs["wave1"].shape == (2000,)
+
+
+def test_online_driver_aux_buffers():
+    ecfg = small_ecfg()
+    drv = OnlineDriver(ecfg=ecfg, rcfg=ReconstructConfig(music_only=False),
+                       history_chunk=10_000, history_max_bars=0)
+    out = drv.update(planted(1200))
+    for f in ("energy", "coherence", "snr_db", "score", "eigen_ratio", "eta_conf"):
+        assert out[f].shape == out["wave"].shape
+    assert (out["coherence"][1100:] > 0).any()

@@ -163,6 +163,9 @@ class OnlineDriver:
             self._period = np.zeros((0, slots), np.float32)
             self._eta = np.zeros((0, slots), np.float32)
             self._phase = np.zeros((0, slots), np.float32)
+            self._aux = {f: np.zeros((0, slots), np.float32)
+                         for f in ("energy", "coherence", "snr_db", "score",
+                                   "eigen_ratio", "eta_conf")}
 
         first_needed = max(self.prev_calculated, w - 1)
         if self.prev_calculated == 0 and self.backfill_windows:
@@ -191,18 +194,24 @@ class OnlineDriver:
             self._period = app(self._period, z)
             self._eta = app(self._eta, z)
             self._phase = app(self._phase, z)
+            for f in self._aux:
+                self._aux[f] = app(self._aux[f], z)
         self._wave = app(self._wave, decoded["wave"])
         self._period = app(self._period, decoded["period"])
         self._eta = app(self._eta, decoded["eta_seconds"])
         self._phase = app(self._phase, decoded["phase"])
+        for f in self._aux:
+            self._aux[f] = app(self._aux[f], decoded[f])
         self.prev_calculated = end
         return self.buffers()
 
     def buffers(self) -> dict[str, np.ndarray]:
-        return {
+        out = {
             "wave": self._wave,
             "period": self._period,
             "eta_seconds": self._eta,
             "phase": self._phase,
             "calculated": np.asarray(self.prev_calculated),
         }
+        out.update(self._aux)  # MUSIC attr buffers (`1.1.0` MusEnergy etc.)
+        return out
