@@ -55,3 +55,27 @@ def test_v757_full_pipeline():
     valid = out["slot_valid"][-200:, 0]
     assert (disp[bullish & valid] >= 1.0 - 1e-6).all()
     assert (disp[~bullish & valid] <= 0.0).all()
+
+
+def test_v757_leak_detection_end_to_end():
+    """A short-period intruder burst must raise leak flags with signed ETA."""
+    import jax
+
+    n = 1024 + 300
+    t = np.arange(n)
+    series = 100.0 + 2.0 * np.sin(2 * np.pi * t / 40)
+    # intruder: strong short cycle burst over the last 150 bars
+    burst = np.zeros(n)
+    burst[-150:] = 1.9 * np.sin(2 * np.pi * t[-150:] / 11)
+    series = series + burst
+    cfg = V757Config(window=1024, min_period=9.0, max_period=52.0,
+                     trend_period=256, taper=WindowType.BLACKMAN,
+                     detrend=DetrendMode.EHLERS, n_candidates=16)
+    out = run_v757(series, cfg, hop=1)
+    # some slot flags a leak during the burst window
+    tail = out["leak_active"][-100:]
+    assert tail.any(), "expected leak flags during the intruder burst"
+    # leak ETA present and finite where flagged
+    eta = out["leak_eta"][-100:]
+    assert np.isfinite(eta).all()
+    assert (np.abs(eta[tail]) > 0).any()
