@@ -35,6 +35,22 @@ import jax.numpy as jnp
 from wavespec_tpu import extract as ex
 
 
+def reconstruct_from_bins(spec: jax.Array, idx: jax.Array, n: int) -> jax.Array:
+    """Waveform from selected spectral bins: inverse rFFT of the top-k bins
+    with everything else zeroed (the `WaveSpecZZ_Phase`/`_Waves` style
+    band-selective reconstruction; BASELINE config #4).
+
+    spec: complex bins ``[..., n//2]``; idx: ``[..., k]`` selected bins.
+    Returns the length-n waveform of just those cycles.
+    """
+    from wavespec_tpu.kernels.mxu_fft import irfft_mxu
+
+    bins = spec.shape[-1]
+    one_hot = jax.nn.one_hot(idx, bins, dtype=jnp.float32).sum(axis=-2)
+    mask = jnp.clip(one_hot, 0.0, 1.0)
+    return irfft_mxu(spec * mask, n)
+
+
 @dataclasses.dataclass(frozen=True)
 class ReconstructConfig:
     """Static decode configuration (defaults = flagship inputs `1.1.0:30,64,72-77`)."""
