@@ -150,3 +150,18 @@ def test_leak_eta_bars():
     np.testing.assert_allclose(out[0], 8.0, rtol=1e-5)
     np.testing.assert_allclose(out[1], -8.0, rtol=1e-5)  # signed by main
     assert out[2] == 0.0  # inactive
+
+
+def test_machine_realfft_mode():
+    t = np.arange(150)
+    vals = np.sin(2 * np.pi * t / 32)
+    out = eta_state_machine(
+        jnp.asarray(vals, jnp.float32),
+        jnp.full(150, 32.0, jnp.float32),
+        jnp.full(150, 8.0, jnp.float32),  # group delay 8 bars
+        EtaConfig(mode=EtaMode.REALFFT, seconds_per_bar=60.0),
+    )
+    eta = out["eta_seconds"]
+    # group-delay mode: eta ~ |tau_g| * spb at phase starts, monotone within
+    assert (eta[1:] <= 8.0 * 60.0 + 1e-3).all()
+    assert (eta >= 0).all()

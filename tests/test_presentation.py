@@ -102,3 +102,27 @@ def test_csv_exporter(tmp_path):
     assert lines[0].startswith("Time,BarIndex,C1_State,C1_Period,C1_ETA,C1_Leak,C2_State")
     assert len(lines) == 3
     assert lines[1].split(",")[1] == "0"
+
+
+def test_csv_export_from_v757_outputs(tmp_path):
+    """The CSV exporter consumes v7.57 pipeline outputs end-to-end."""
+    from wavespec_tpu.extract import DetrendMode
+    from wavespec_tpu.ops.windows import WindowType
+    from wavespec_tpu.pipeline import V757Config, run_v757
+
+    t = np.arange(1024 + 60)
+    series = 100 + 1.5 * np.sin(2 * np.pi * t / 36)
+    cfg = V757Config(window=1024, min_period=18.0, max_period=52.0,
+                     trend_period=256, taper=WindowType.BLACKMAN,
+                     detrend=DetrendMode.EHLERS, n_candidates=8)
+    out = run_v757(series, cfg, hop=4)
+    exp = CsvExporter(filename=tmp_path / "v757.csv", update_bars=1)
+    rows = 0
+    for bar in range(out["states"].shape[0]):
+        if exp.export_bar(f"t{bar}", bar, out["states"][bar],
+                          out["slot_period"][bar], out["eta_raw"][bar],
+                          out["leak_eta"][bar]):
+            rows += 1
+    text = (tmp_path / "v757.csv").read_text().splitlines()
+    assert len(text) == rows + 1
+    assert text[0].count(",") == 1 + 12 * 4

@@ -184,3 +184,14 @@ def test_feed_cache_truncated(tmp_path):
     p.write_bytes(struct.pack("<i", 100) + b"\0" * 64)  # claims 100 doubles
     with pytest.raises(RuntimeError):
         load_feed_cache(p)
+
+
+def test_concurrent_async_jobs():
+    q = JobQueue(depth=16)
+    f = jax.jit(lambda x, c: x * c)
+    jids = [q.submit(f, jnp.ones(64), float(i)) for i in range(8)]
+    for i, jid in enumerate(jids):
+        res = q.result(jid)
+        np.testing.assert_allclose(np.asarray(res), float(i))
+        q.free(jid)
+    assert q.pending() == 0
