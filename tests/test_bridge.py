@@ -126,3 +126,10 @@ def test_tick_series_builder():
         prices, t, window_len=1024, interval_seconds=1.0, smoothing_window=3
     )
     assert out.shape == (1024,)
+
+
+def test_hud_tracks_last_call():
+    bridge.gpu_fft_real_forward(planted(256, 32))
+    assert bridge.get_hud().last_call == "gpu_fft_real_forward"
+    bridge.gpu_extract_cycles(planted(), top_k=1, method=0, min_period=10)
+    assert "extract" in bridge.get_hud().render()

@@ -49,10 +49,21 @@ from wavespec_tpu.ops.spectrum import (
 from wavespec_tpu.pipeline.session import Session
 from wavespec_tpu.pipeline.spec import parse_preset, run_pipeline
 from wavespec_tpu.runtime.native import Status
+from wavespec_tpu.utils.telemetry import Hud
 
 STRIDE = 15
 
 _session = Session()
+_hud = Hud()
+
+
+def get_hud() -> Hud:
+    """Status snapshot with the last bridge call (`gpu_wip.mq5:91,451`)."""
+    return _hud
+
+
+def _track(name: str) -> None:
+    _hud.record_call(name)
 
 
 # ------------------------------------------------------------------ session
@@ -87,6 +98,7 @@ def gpu_fft_real_forward(series) -> np.ndarray:
 
     len(out) == len(in); bins = len/2. Uses the MXU DFT on TPU backends.
     """
+    _track("gpu_fft_real_forward")
     x = jnp.asarray(series, jnp.float32)
     if x.shape[-1] & (x.shape[-1] - 1) == 0 and x.shape[-1] >= 16:
         spec = rfft_mxu(x)
@@ -250,6 +262,7 @@ def gpu_extract_cycles(
 ) -> np.ndarray:
     """`gpu_extract_cycles` (`Include/imports.mqh:9-11`): flat stride-15
     record array [top_k * 15]."""
+    _track("gpu_extract_cycles")
     x = np.asarray(series, np.float32)
     cfg = _cfg(len(x), top_k, min_period, max_period, sample_rate_seconds,
                method, ar_order)
@@ -281,6 +294,7 @@ def gpu_submit_extract_cycles_batch(
 ) -> int:
     """Rolling-STFT batch job (`Include/imports.mqh:15-17`):
     nwin = 1 + (len - window)/hop windows in one fused program."""
+    _track("gpu_submit_extract_cycles_batch")
     x = np.asarray(series, np.float32)
     cfg = _cfg(len(x), top_k, min_period, max_period, sample_rate_seconds,
                method, ar_order, window=window_len)
@@ -312,6 +326,7 @@ class _TemplateResult:
 def mt_gpu_wave_submit_template_job(preset_text: str, series) -> int:
     """`mt_gpu_wave_submit_template_job` (`gpu_wip.mq5:214-219`): one job
     returns every analysis product (SURVEY §3.5)."""
+    _track("mt_gpu_wave_submit_template_job")
     spec = parse_preset(preset_text)
     x = np.asarray(series, np.float32)
     return _queue().submit(lambda s: run_pipeline(jnp.asarray(s), spec), x)
