@@ -129,37 +129,68 @@ def rfft_mxu(
 
 @lru_cache(maxsize=32)
 def _iplan(n: int):
-    """Inverse-DFT factor matrices, mapping n//2 bins -> n real samples.
+    """Inverse four-step factor matrices (O(n1^2 + n2^2) memory).
 
-    The inverse of the bridge layout treats the missing upper half of the
-    spectrum by Hermitian symmetry (Nyquist bin = 0):
-      x[m] = (1/N) * Re[ X[0] + 2 * sum_{k=1}^{N/2-1} X[k] e^{+2i pi k m / N} ].
-    We fold the 1/N and the doubling into a single real matrix pair applied
-    to (re, im): x = Re(X) @ Cr^T + Im(X) @ Ci^T with
-      Cr[m, k] = w_k cos(2 pi k m / N) / N,
-      Ci[m, k] = -w_k sin(2 pi k m / N) / N,   w_0 = 1, w_{k>0} = 2.
+    With m = N2*m1 + m2 and k = N1*k2 + k1:
+      x[m] = (1/N) sum_k Y[k] W_N^{+mk}
+           = (1/N) sum_{k1} F1c[m1,k1] * T[k1,m2] * sum_{k2} Y[N1 k2+k1] F2c[k2,m2]
+    where F1c/F2c/Tc are the CONJUGATE DFT/twiddle factors. Y is the
+    Hermitian extension of the n/2 input bins (Nyquist = 0), so the
+    synthesis stays O(n) memory at any window size — a dense [n/2, n]
+    matrix would be 2 GB at n = 32768 and 137 GB at the reference's
+    anticipated 262144 maximum.
     """
-    half = n // 2
-    m = np.arange(n)
-    k = np.arange(half)
-    ang = 2.0 * np.pi * np.outer(k, m) / n  # [half, n]
-    w = np.where(k == 0, 1.0, 2.0)[:, None]
-    cr = (w * np.cos(ang) / n).astype(np.float32)  # [half, n]
-    ci = (-w * np.sin(ang) / n).astype(np.float32)
-    return cr, ci
+    n1, n2 = dft_factors(n)
+    i1 = np.arange(n1)
+    f1c = np.exp(+2j * np.pi * np.outer(i1, i1) / n1)          # [m1, k1]
+    i2 = np.arange(n2)
+    f2c = np.exp(+2j * np.pi * np.outer(i2, i2) / n2)          # [k2, m2]
+    tw = np.exp(+2j * np.pi * np.outer(i1, i2) / n)            # [k1, m2]
+    return (
+        (f1c.real.astype(np.float32), f1c.imag.astype(np.float32)),
+        (f2c.real.astype(np.float32), f2c.imag.astype(np.float32)),
+        (tw.real.astype(np.float32), tw.imag.astype(np.float32)),
+    )
 
 
 @partial(jax.jit, static_argnames=("n", "precision"))
 def irfft_mxu(spec: jax.Array, n: int, precision: str = "highest") -> jax.Array:
     """Inverse of `rfft_mxu`: n//2 complex bins -> n real samples.
 
-    Direct dense synthesis (one [B, n/2] @ [n/2, n] pair). O(N^2/2) MACs —
-    fine for the op-library path (`gpu_fft_real_inverse` parity); the fused
-    reconstruction pipeline synthesizes only top-k bins instead.
+    Four-step inverse DFT on the Hermitian-extended spectrum (Nyquist bin
+    treated as 0 per the bridge's n/2-bin contract), all matmul-shaped for
+    the MXU and O(n) memory at any window size.
     """
     prec = jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
-    cr, ci = _iplan(n)
-    cr, ci = jnp.asarray(cr), jnp.asarray(ci)
-    re = jnp.real(spec).astype(jnp.float32)
-    im = jnp.imag(spec).astype(jnp.float32)
-    return _matmul(re, cr, prec) + _matmul(im, ci, prec)
+    n1, n2 = dft_factors(n)
+    (f1r, f1i), (f2r, f2i), (twr, twi) = _iplan(n)
+    f1r, f1i, f2r, f2i, twr, twi = (
+        jnp.asarray(a) for a in (f1r, f1i, f2r, f2i, twr, twi)
+    )
+    batch = spec.shape[:-1]
+    half = n // 2
+    re = jnp.real(spec).astype(jnp.float32).reshape(-1, half)
+    im = jnp.imag(spec).astype(jnp.float32).reshape(-1, half)
+
+    # Hermitian extension: Y[0]=X[0], Y[k]=X[k] (k<n/2), Y[n/2]=0,
+    # Y[n-k]=conj(X[k]).
+    zero = jnp.zeros((re.shape[0], 1), jnp.float32)
+    yr = jnp.concatenate([re, zero, re[:, 1:][:, ::-1]], axis=-1)   # [b, n]
+    yi = jnp.concatenate([im, zero, -im[:, 1:][:, ::-1]], axis=-1)
+
+    # view Y as [n2(k2), n1(k1)] then transpose -> A'[k1, k2]
+    ar = jnp.swapaxes(yr.reshape(-1, n2, n1), -1, -2)
+    ai = jnp.swapaxes(yi.reshape(-1, n2, n1), -1, -2)
+
+    # inner DFT over k2: B'[k1, m2] = A'[k1, :] @ F2c
+    br = _matmul(ar, f2r, prec) - _matmul(ai, f2i, prec)
+    bi = _matmul(ar, f2i, prec) + _matmul(ai, f2r, prec)
+
+    # twiddle W^{+k1 m2}
+    cr = br * twr - bi * twi
+    ci = br * twi + bi * twr
+
+    # outer DFT over k1: x_mat[m1, m2] = F1c[m1, :] @ C'[:, m2]; x real
+    xr = (jnp.einsum("mk,bkn->bmn", f1r, cr, precision=prec)
+          - jnp.einsum("mk,bkn->bmn", f1i, ci, precision=prec))
+    return (xr.reshape(*batch, n1 * n2) / n).astype(jnp.float32)
