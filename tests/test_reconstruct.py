@@ -148,3 +148,16 @@ def test_end_to_end_extract_then_render():
     xx = x[covered]
     corr = np.corrcoef(w, xx)[0, 1]
     assert corr > 0.99
+
+
+def test_project_forward():
+    from wavespec_tpu.reconstruct import project_forward
+
+    cfg = ReconstructConfig(max_waves=1)
+    a = make_attrs(1, 1)  # amp 1, period 64, phase 0.5
+    proj = np.asarray(project_forward(jnp.asarray(a), bars=26, cfg=cfg))
+    assert proj.shape == (1, 26, 1)
+    w = np.asarray(quality_weight(jnp.asarray(a), cfg))[0, 0]
+    omega = 2 * np.pi / 64.0
+    want = w * np.sin(0.5 + omega * np.arange(1, 27))
+    np.testing.assert_allclose(proj[0, :, 0], want, rtol=1e-5, atol=1e-6)

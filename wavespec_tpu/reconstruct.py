@@ -35,6 +35,32 @@ import jax.numpy as jnp
 from wavespec_tpu import extract as ex
 
 
+@partial(jax.jit, static_argnames=("bars", "cfg"))
+def project_forward(
+    attrs: jax.Array,
+    bars: int = 26,
+    cfg: "ReconstructConfig | None" = None,
+):
+    """Ichimoku-style future projection (`InpShowFutureProjection` /
+    `InpProjectionBars`, `...pla-kalman.mq5:867-870`): extend each plotted
+    cycle `bars` bars past the newest bar as
+    ``amp_w * sin(phase + omega * k)``, k = 1..bars.
+
+    attrs ``[..., k, 15]`` -> ``[..., bars, max_waves]`` projected values
+    (quality-weighted and slot-gated like `decode_causal`).
+    """
+    cfg = cfg or ReconstructConfig()
+    slot, valid = _select_slots(attrs, cfg)
+    w = quality_weight(slot, cfg)
+    amp_w = slot[..., ex.AMPLITUDE] * w
+    omega = 2.0 * jnp.pi * slot[..., ex.FREQ]
+    phase = slot[..., ex.PHASE]
+    k = jnp.arange(1, bars + 1, dtype=jnp.float32)
+    theta = phase[..., None, :] + omega[..., None, :] * k[:, None]
+    proj = amp_w[..., None, :] * jnp.sin(theta)
+    return jnp.where(valid[..., None, :], proj, 0.0)
+
+
 def reconstruct_from_bins(spec: jax.Array, idx: jax.Array, n: int) -> jax.Array:
     """Waveform from selected spectral bins: inverse rFFT of the top-k bins
     with everything else zeroed (the `WaveSpecZZ_Phase`/`_Waves` style
