@@ -79,3 +79,18 @@ def test_v757_leak_detection_end_to_end():
     eta = out["leak_eta"][-100:]
     assert np.isfinite(eta).all()
     assert (np.abs(eta[tail]) > 0).any()
+
+
+def test_v757_no_repaint():
+    """Appending bars never changes previously computed v7.57 frames."""
+    n = 1024 + 200
+    t = np.arange(n)
+    series = 100 + 1.5 * np.sin(2 * np.pi * t / 36) + 0.8 * np.sin(2 * np.pi * t / 24)
+    cfg = V757Config(window=1024, min_period=18.0, max_period=52.0,
+                     trend_period=256, taper=WindowType.BLACKMAN,
+                     detrend=DetrendMode.EHLERS, n_candidates=8)
+    a = run_v757(series[: n - 60], cfg, hop=4)
+    b = run_v757(series, cfg, hop=4)
+    frames = a["slot_period"].shape[0]
+    for key in ("slot_period", "slot_uid", "color", "sig", "states"):
+        np.testing.assert_array_equal(a[key], b[key][:frames])

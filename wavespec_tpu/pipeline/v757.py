@@ -92,6 +92,11 @@ def run_v757(
 ) -> dict[str, np.ndarray]:
     """Full-history analytics. Frame f covers bars [f*hop, f*hop+window).
 
+    Note: the sequential state machines (trackers, ETA, signals) advance
+    once per FRAME; with hop > 1 a frame step spans `hop` bars, so set
+    `seconds_per_bar` to the per-frame wall time (hop * bar seconds) when
+    ETAs must stay in wall-clock units.
+
     Returns per-frame arrays (T = number of frames, S = 12 slots):
       slot_period/slot_power/slot_valid [T, S], leak flags, cycle
       waveforms [T, S] (biquad), color/eta buffers [T, S], signals
