@@ -26,3 +26,8 @@ def test_dryrun_various_device_counts():
     graft.dryrun_multichip(2)
     graft.dryrun_multichip(4)
     graft.dryrun_multichip(8)
+
+
+def test_dryrun_odd_device_counts():
+    graft.dryrun_multichip(3)
+    graft.dryrun_multichip(6)
