@@ -205,3 +205,26 @@ def test_online_driver_aux_buffers():
     for f in ("energy", "coherence", "snr_db", "score", "eigen_ratio", "eta_conf"):
         assert out[f].shape == out["wave"].shape
     assert (out["coherence"][1100:] > 0).any()
+
+
+def test_chunked_batch_matches_unchunked():
+    from wavespec_tpu.pipeline import extract_cycles_batch_chunked
+    from wavespec_tpu.extract import extract_cycles_batch
+
+    ecfg = small_ecfg()
+    x = planted(1024 + 997, seed=11)
+    want = np.asarray(extract_cycles_batch(jnp.asarray(x), ecfg, hop=1))
+    got = extract_cycles_batch_chunked(x, ecfg, hop=1, chunk_windows=200)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_batch_hop_and_tail():
+    from wavespec_tpu.pipeline import extract_cycles_batch_chunked
+    from wavespec_tpu.extract import extract_cycles_batch
+
+    ecfg = small_ecfg()
+    x = planted(1024 + 1000, seed=12)
+    want = np.asarray(extract_cycles_batch(jnp.asarray(x), ecfg, hop=8))
+    got = extract_cycles_batch_chunked(x, ecfg, hop=8, chunk_windows=37)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -5,6 +5,7 @@ from wavespec_tpu.pipeline.drivers import (
     OnlineDriver,
     batch_warmup,
     decoded_buffers,
+    extract_cycles_batch_chunked,
 )
 from wavespec_tpu.pipeline.session import Session
 from wavespec_tpu.pipeline.spec import PipelineSpec, Stage, parse_preset, run_pipeline
@@ -18,6 +19,7 @@ __all__ = [
     "Stage",
     "batch_warmup",
     "decoded_buffers",
+    "extract_cycles_batch_chunked",
     "parse_preset",
     "run_pipeline",
     "run_v757",

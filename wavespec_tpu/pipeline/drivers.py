@@ -32,6 +32,44 @@ from wavespec_tpu.runtime.caches import (
 )
 
 
+def extract_cycles_batch_chunked(
+    series: np.ndarray,
+    ecfg: ExtractConfig,
+    hop: int = 1,
+    chunk_windows: int = 16_384,
+) -> np.ndarray:
+    """Rolling-STFT extraction over an arbitrarily long history.
+
+    `extract_cycles_batch` materializes the [nwin, window] frame matrix —
+    fine for tens of thousands of windows, but the fetcher contract goes
+    to 500k bars at hop=1 (`WaveCyclesBatchFetcher.mq5:36`), where that
+    matrix would be terabytes. This driver slices the series into
+    overlapping spans of `chunk_windows` windows (each chunk reuses ONE
+    compiled program) and concatenates the attrs; results are identical
+    to the unchunked call (windows are independent).
+    """
+    series = np.asarray(series, np.float32)
+    n = len(series)
+    w = ecfg.window
+    nwin = 1 + (n - w) // hop
+    if nwin <= chunk_windows:
+        return np.asarray(extract_cycles_batch(jnp.asarray(series), ecfg, hop=hop))
+    parts = []
+    for w0 in range(0, nwin, chunk_windows):
+        w1 = min(w0 + chunk_windows, nwin)
+        start = w0 * hop
+        stop = (w1 - 1) * hop + w
+        span = series[start:stop]
+        # pad the tail span so every chunk reuses the same compiled shape
+        want_len = (chunk_windows - 1) * hop + w
+        n_real = w1 - w0
+        if len(span) < want_len:
+            span = np.pad(span, (0, want_len - len(span)))
+        out = np.asarray(extract_cycles_batch(jnp.asarray(span), ecfg, hop=hop))
+        parts.append(out[:n_real])
+    return np.concatenate(parts, axis=0)
+
+
 def decoded_buffers(
     series: np.ndarray,
     ecfg: ExtractConfig,
@@ -45,7 +83,7 @@ def decoded_buffers(
     window's newest bar) plus the raw attrs.
     """
     n_bars = len(series)
-    attrs = extract_cycles_batch(jnp.asarray(series, jnp.float32), ecfg, hop=hop)
+    attrs = jnp.asarray(extract_cycles_batch_chunked(series, ecfg, hop=hop))
     rendered = render_final(
         attrs, n_bars=n_bars, window=ecfg.window, hop=hop, cfg=rcfg
     )
