@@ -228,3 +228,18 @@ def test_chunked_batch_hop_and_tail():
     want = np.asarray(extract_cycles_batch(jnp.asarray(x), ecfg, hop=8))
     got = extract_cycles_batch_chunked(x, ecfg, hop=8, chunk_windows=37)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fetcher_long_history_chunked(tmp_path):
+    """Fetcher-scale run (hop=1 over tens of thousands of bars) exercises
+    the chunked extraction path end to end."""
+    fetcher = BatchFetcher(symbol="XAUUSD", timeframe="M5",
+                           ecfg=small_ecfg(), rcfg=ReconstructConfig(music_only=False),
+                           cache_dir=tmp_path)
+    x = planted(20_000, period=80.0, seed=13)
+    bufs = fetcher.run(x, hop=1)
+    assert bufs["wave1"].shape == (20_000,)
+    # planted cycle visible in the persisted periods
+    per = bufs["period1"][5000:]
+    per = per[per > 0]
+    assert np.abs(np.median(per) - 1024 / round(1024 / 80)) < 2.0
