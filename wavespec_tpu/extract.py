@@ -39,7 +39,6 @@ STFT windows as a single batched MXU DFT — no per-window dispatch.
 from __future__ import annotations
 
 import dataclasses
-import math
 import enum
 from functools import partial
 
@@ -306,49 +305,57 @@ def _fft_ridge(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
     )
 
 
+def _frame_block(series: jax.Array, length: int, stride: int, n_frames: int) -> jax.Array:
+    """Frames at multiples of `stride`: ``F[m] = series[m*stride : m*stride+length]``.
+
+    Views the (zero-padded) series as ``B[q, stride]`` blocks; frame m is
+    the concatenation of rows ``B[m : m+ceil(length/stride)]``, so the
+    whole matrix is ``ceil(length/stride)`` CONTIGUOUS row-block slices
+    concatenated along the column axis — pure HBM-bandwidth copies, no
+    gather, and no divisibility requirement between length and stride.
+    Padding can only land in trimmed columns (>= length) of the last rows.
+    """
+    n_parts = -(-length // stride)
+    total = (n_frames - 1 + n_parts) * stride
+    n = series.shape[-1]
+    if total > n:
+        series = jnp.pad(series, (0, total - n))
+    b = series[:total].reshape(-1, stride)
+    parts = [b[c : c + n_frames] for c in range(n_parts)]
+    return jnp.concatenate(parts, axis=1)[:, :length]
+
+
 def frame_series(series: jax.Array, window: int, hop: int) -> jax.Array:
     """Strided window matrix ``[nwin, window]`` from a 1-D series.
 
     TPU note: a naive ``series[idx]`` lowers to a general gather that costs
-    ~100x the rest of the extraction pipeline. With g = gcd(window, hop)
-    the frames are instead assembled from ``window/g`` strided-slice views
-    of the ``[len/g, g]`` block view
-    (``F[w, c*g + r] = B[w*(hop/g) + c, r]``), which XLA lowers to copies
-    at HBM bandwidth. The gather fallback only remains for degenerate
-    splits (> 512 slices).
+    ~100x the rest of the extraction pipeline (144 ms vs ~0 at the hop=1
+    warmup scale). Every hop in [1, len] instead lowers to static slices:
+
+    - hop >= 64: direct block framing with block size = hop
+      (``ceil(window/hop)`` contiguous row slices, see `_frame_block`);
+    - hop < 64: two-level — coarse frames of length
+      ``window + (per-1)*hop`` at stride ``H = per*hop`` (per = ceil(64/hop),
+      so H is in [64, 127]) via `_frame_block`, then each fine offset o is a
+      static column slice ``coarse[:, o*hop : o*hop+window]``.
+
+    Neither level needs any divisibility between window and hop, so the
+    gather fallback of the arbitrary-hop batch contract
+    (`Include/imports.mqh:15-17`) is gone entirely.
     """
     n = series.shape[-1]
     nwin = 1 + (n - window) // hop
     series = series.astype(jnp.float32)
-    g = math.gcd(window, hop)
-    n_slices = window // g
-    if n_slices <= 512:
-        hop_g = hop // g
-        q = n // g
-        b = series[: q * g].reshape(q, g)
-        last = (nwin - 1) * hop_g
-        parts = [b[c : c + last + 1 : hop_g] for c in range(n_slices)]
-        return jnp.concatenate(parts, axis=1)
+    if hop >= 64:
+        return _frame_block(series, window, hop, nwin)
 
-    # Small hop (e.g. the hop=1 batch warmup): two-level framing. Coarse
-    # frames of length window+H at stride H (H | window -> window/H + 1
-    # block slices), then each fine offset is a static slice of the coarse
-    # frame's second axis: F[m*(H/hop) + o] = Fb[m, o*hop : o*hop+window].
-    h = 64 if window % 64 == 0 else g
-    if hop < h and h % hop == 0 and window % h == 0:
-        per_coarse = h // hop
-        m_max = (nwin - 1) // per_coarse
-        needed = window + h + m_max * h
-        if needed > n:  # zero-pad: padded samples only land in discarded
-            series = jnp.pad(series, (0, needed - n))  # rows (w >= nwin)
-        coarse = frame_series(series, window + h, h)[: m_max + 1]
-        offs = [coarse[:, o * hop : o * hop + window] for o in range(per_coarse)]
-        stacked = jnp.stack(offs, axis=1)  # [m, H/hop, window]
-        return stacked.reshape(-1, window)[:nwin]
-
-    starts = jnp.arange(nwin) * hop
-    idx = starts[:, None] + jnp.arange(window)[None, :]
-    return series[idx]
+    per = -(-64 // hop)
+    coarse_len = window + (per - 1) * hop
+    m_max = (nwin - 1) // per
+    coarse = _frame_block(series, coarse_len, per * hop, m_max + 1)
+    offs = [coarse[:, o * hop : o * hop + window] for o in range(per)]
+    stacked = jnp.stack(offs, axis=1)  # [m, per, window]
+    return stacked.reshape(-1, window)[:nwin]
 
 
 def _extract_windows(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
