@@ -7,18 +7,19 @@ over thousands of STFT windows. We implement Jacobi in pure JAX:
 - no dependence on an LAPACK-style `eigh` lowering (not all TPU runtimes
   ship one — the axon backend notably lacks several linalg lowerings);
 - **parallel ordering**: each round applies floor(m/2) disjoint rotations
-  (round-robin tournament pairing) composed into ONE orthogonal matrix,
-  so a sweep is m-1 batched [B, m, m] matmul steps instead of m(m-1)/2 —
-  the sequential latency chain shrinks ~5x for m=10, which matters on a
-  TPU where each tiny matmul costs a full dispatch in the chain;
-- deterministic fixed sweep count -> static control flow under jit;
-- all matmuls pinned to HIGHEST precision (bf16 passes would corrupt the
-  noise-subspace split).
+  (round-robin tournament pairing), so a sweep is m-1 rounds instead of
+  m(m-1)/2 sequential rotations;
+- **struct-of-arrays layout**: matrices are carried as ``[m, m, B]`` with
+  the BATCH axis minor. Each round's rotation is then m static row slices
+  + elementwise FMAs on ``[m, B]`` vectors (batch rides the 128-wide VPU
+  lanes) — no batched 10x10 matmuls (which pad catastrophically on the
+  MXU and measured 7-12 ms for the flagship MUSIC batch) and no dynamic
+  gathers (static pair indices lower to slices);
+- deterministic fixed sweep count -> static control flow under jit.
 
 For m <= 32 parallel-ordering converges to the f32 floor (~1e-7 relative
 eigenvalues) within 6 sweeps (verified against numpy.linalg.eigh up to
-sweeps=10 with identical error), so 6 is the default — the sweep count is
-the sequential latency of the whole MUSIC batch.
+sweeps=10 with identical error), so 6 is the default.
 """
 
 from __future__ import annotations
@@ -27,41 +28,26 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @lru_cache(maxsize=16)
-def _round_robin_plan(m: int):
-    """Tournament pairing: (m_pad-1) rounds of m_pad/2 disjoint pairs.
-
-    Returns (pairs [rounds, m_pad/2, 2] int32 with entries < m valid and
-    pad-pairs marked by index >= m, PP [rounds, m/2, m, m], PQ alike) where
-    PP_i = e_p e_p^T + e_q e_q^T and PQ_i = e_p e_q^T - e_q e_p^T.
-    """
+def _round_robin_pairs(m: int) -> tuple[tuple[tuple[int, int], ...], ...]:
+    """Tournament pairing: (m_pad - 1) rounds of disjoint (p < q) pairs
+    covering all indices < m (padding partner dropped for odd m)."""
     m_pad = m + (m & 1)
     players = list(range(m_pad))
     rounds = []
     for _ in range(m_pad - 1):
         half = m_pad // 2
-        rounds.append([(players[i], players[m_pad - 1 - i]) for i in range(half)])
-        players = [players[0]] + [players[-1]] + players[1:-1]
-    n_pairs = m_pad // 2
-    pp = np.zeros((len(rounds), n_pairs, m, m), np.float32)
-    pq = np.zeros((len(rounds), n_pairs, m, m), np.float32)
-    valid = np.zeros((len(rounds), n_pairs), np.float32)
-    pidx = np.zeros((len(rounds), n_pairs, 2), np.int32)
-    for r, rnd in enumerate(rounds):
-        for i, (a, b) in enumerate(rnd):
+        rnd = []
+        for i in range(half):
+            a, b = players[i], players[m_pad - 1 - i]
             p, q = min(a, b), max(a, b)
-            pidx[r, i] = (min(p, m - 1), min(q, m - 1))
-            if q >= m:
-                continue  # padding pair
-            valid[r, i] = 1.0
-            pp[r, i, p, p] = 1.0
-            pp[r, i, q, q] = 1.0
-            pq[r, i, p, q] = 1.0
-            pq[r, i, q, p] = -1.0
-    return pidx, valid, pp, pq
+            if q < m:  # drop the padding player's pair
+                rnd.append((p, q))
+        rounds.append(tuple(rnd))
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return tuple(rounds)
 
 
 @partial(jax.jit, static_argnames=("sweeps",))
@@ -74,40 +60,53 @@ def jacobi_eigh(a: jax.Array, sweeps: int = 6):
     """
     m = a.shape[-1]
     batch = a.shape[:-2]
-    a = a.reshape(-1, m, m).astype(jnp.float32)
-
-    pidx_np, valid_np, pp_np, pq_np = _round_robin_plan(m)
-    pidx = jnp.asarray(pidx_np)      # [R, P, 2]
-    valid = jnp.asarray(valid_np)    # [R, P]
-    pp = jnp.asarray(pp_np)          # [R, P, m, m]
-    pq = jnp.asarray(pq_np)
-    n_rounds = pidx.shape[0]
+    # SoA: [m, m, B] with batch minor (VPU lanes).
+    mat = jnp.moveaxis(a.reshape(-1, m, m).astype(jnp.float32), 0, -1)
+    b = mat.shape[-1]
     eye = jnp.eye(m, dtype=jnp.float32)
-    prec = jax.lax.Precision.HIGHEST
+    # zeros_like(mat) + eye: inherits mat's varying manual axes under
+    # shard_map (a plain broadcast_to would be unvarying and break the
+    # fori_loop carry-type match).
+    vecs = jnp.zeros_like(mat) + eye[:, :, None]
 
-    def apply_round(r, state):
-        mat, vecs = state
-        pr = pidx[r]                                   # [P, 2]
-        app = mat[:, pr[:, 0], pr[:, 0]]               # [b, P]
-        aqq = mat[:, pr[:, 1], pr[:, 1]]
-        apq = mat[:, pr[:, 0], pr[:, 1]]
-        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-        theta = theta * valid[r]                       # freeze padding pairs
-        c, s = jnp.cos(theta), jnp.sin(theta)
-        # compose the disjoint rotations of this round into one matrix
-        rot = eye + jnp.einsum("bp,pmn->bmn", c - 1.0, pp[r], precision=prec) \
-                  + jnp.einsum("bp,pmn->bmn", s, pq[r], precision=prec)
-        mat = jnp.einsum("bji,bjk,bkl->bil", rot, mat, rot, precision=prec)
-        vecs = jnp.einsum("bij,bjk->bik", vecs, rot, precision=prec)
+    rounds = _round_robin_pairs(m)
+
+    def apply_round(mat, vecs, pairs):
+        # Rotation R: R[p,p]=R[q,q]=c, R[p,q]=s, R[q,p]=-s (pairs disjoint).
+        cs = {}
+        for p, q in pairs:
+            theta = 0.5 * jnp.arctan2(
+                2.0 * mat[p, q], mat[q, q] - mat[p, p]
+            )  # [B]
+            cs[(p, q)] = (jnp.cos(theta), jnp.sin(theta))
+
+        def rot_rows(x, row):  # R^T X on axis `row` of [m, m, B]
+            xs = [x[i] for i in range(m)] if row == 0 else \
+                 [x[:, i] for i in range(m)]
+            new = list(xs)
+            for p, q in pairs:
+                c, s = cs[(p, q)]
+                new[p] = c * xs[p] - s * xs[q]
+                new[q] = s * xs[p] + c * xs[q]
+            return jnp.stack(new, axis=row)
+
+        mat = rot_rows(rot_rows(mat, 0), 1)  # R^T A R
+        vecs = rot_rows(vecs, 1)             # V R
         return mat, vecs
 
-    vecs0 = jnp.zeros_like(a) + eye  # inherits a's varying axes (shard_map)
-    mat, vecs = jax.lax.fori_loop(
-        0, sweeps * n_rounds, lambda i, st: apply_round(i % n_rounds, st),
-        (a, vecs0),
-    )
+    def sweep(_, state):
+        mat, vecs = state
+        for pairs in rounds:  # static unroll of ONE sweep's rounds
+            mat, vecs = apply_round(mat, vecs, pairs)
+        return mat, vecs
 
-    eigvals = jnp.diagonal(mat, axis1=-2, axis2=-1)
+    # fori over sweeps, static unroll within a sweep: compiling one sweep
+    # instead of all six keeps CPU compile time sane while the TPU runtime
+    # stays elementwise/fused (sweep-granular loop overhead is negligible).
+    mat, vecs = jax.lax.fori_loop(0, sweeps, sweep, (mat, vecs))
+
+    eigvals = jnp.stack([mat[i, i] for i in range(m)], axis=-1)  # [B, m]
+    vecs = jnp.moveaxis(vecs, -1, 0)  # [B, m, m]
     order = jnp.argsort(eigvals, axis=-1)
     eigvals = jnp.take_along_axis(eigvals, order, axis=-1)
     vecs = jnp.take_along_axis(vecs, order[:, None, :], axis=-1)

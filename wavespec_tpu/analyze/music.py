@@ -271,6 +271,59 @@ def _topk_local_maxima(pseudo: jax.Array, freqs: jax.Array, k: int, excl: float,
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
+def _factored_trig(freq: jax.Array, n1: int, n2: int):
+    """Split cos/sin tables: ``cos(2*pi*f*(u*n2+v)) = c1*c2 - s1*s2``.
+
+    freq ``[...]`` (cycles/bar) -> (c1, s1 ``[..., n1]``, c2, s2 ``[..., n2]``)
+    for t = u*n2 + v (u < n1, v < n2). This is the transcendental-count
+    fix ROUND1 item 6 called for: a length-n cos/sin evaluation becomes
+    n1+n2 (128 for n=4096) plus MXU contractions. The coarse angle is
+    folded mod 1 BEFORE the multiply (integer turns drop exactly), so
+    large-t argument reduction error actually improves vs the direct
+    2*pi*f*t evaluation (6e-5 rad vs 2.4e-4 rad at n=4096, f=1/9).
+    """
+    u = jnp.arange(n1, dtype=jnp.float32)
+    v = jnp.arange(n2, dtype=jnp.float32)
+    fr = jnp.mod(freq * n2, 1.0)
+    a1 = (2.0 * jnp.pi) * jnp.mod(fr[..., None] * u, 1.0)  # [..., n1]
+    a2 = (2.0 * jnp.pi) * freq[..., None] * v              # [..., n2]
+    return jnp.cos(a1), jnp.sin(a1), jnp.cos(a2), jnp.sin(a2)
+
+
+def _trig_dot(xr: jax.Array, c1, s1, c2, s2):
+    """(sum_t x[t] cos(w t), sum_t x[t] sin(w t)) for per-k frequencies.
+
+    xr ``[..., n1, n2]`` (window reshaped), tables ``[..., K, n1|n2]``.
+    Two [n2]-contraction matmuls ride the MXU; the length-n cos/sin arrays
+    of the naive form are never materialized.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    ic = jnp.einsum("...uv,...kv->...ku", xr, c2, precision=hp)
+    is_ = jnp.einsum("...uv,...kv->...ku", xr, s2, precision=hp)
+    cos_dot = jnp.einsum("...ku,...ku->...k", c1, ic, precision=hp) - \
+        jnp.einsum("...ku,...ku->...k", s1, is_, precision=hp)
+    sin_dot = jnp.einsum("...ku,...ku->...k", s1, ic, precision=hp) + \
+        jnp.einsum("...ku,...ku->...k", c1, is_, precision=hp)
+    return cos_dot, sin_dot
+
+
+def _trig_synth(a: jax.Array, b: jax.Array, c1, s1, c2, s2, n: int):
+    """``sum_k a_k cos(w_k t) + b_k sin(w_k t)`` -> [..., n], factored.
+
+    h[u,v] = sum_k (a c1 + b s1)[k,u] c2[k,v] + (b c1 - a s1)[k,u] s2[k,v].
+    """
+    hp = jax.lax.Precision.HIGHEST
+    p = a[..., None] * c1 + b[..., None] * s1  # [..., K, n1]
+    q = b[..., None] * c1 - a[..., None] * s1
+    h = jnp.einsum("...ku,...kv->...uv", p, c2, precision=hp) + \
+        jnp.einsum("...ku,...kv->...uv", q, s2, precision=hp)
+    return h.reshape(*h.shape[:-2], n)
+
+
+def _split_n2(n: int) -> int:
+    return min(64, n)
+
+
 def _refine_freq(
     windows: jax.Array, freq: jax.Array, step: float, iters: int = 2
 ) -> jax.Array:
@@ -280,16 +333,20 @@ def _refine_freq(
     amplitude loss (2.4 rad of phase drift across a 4096 window for half an
     FFT bin), so grid-resolution peaks are not enough. Each iteration
     evaluates the exact periodogram |sum_t x e^{-2pi i f t}|^2 at f-step,
-    f, f+step (three thin matvecs) and moves to the parabola vertex.
+    f, f+step and moves to the parabola vertex. Evaluation is matrix-free
+    via the factored trig tables (`_factored_trig`) — no length-n cos/sin.
     """
     n = windows.shape[-1]
-    t = jnp.arange(n, dtype=jnp.float32)
+    n2 = _split_n2(n)
+    xr = windows.reshape(*windows.shape[:-1], n // n2, n2)
 
     def periodogram(f):  # f [..., k, 3] -> [..., k, 3]
-        ang = 2.0 * jnp.pi * f[..., None] * t  # [..., k, 3, n]
-        c = jnp.einsum("...n,...kjn->...kj", windows, jnp.cos(ang), precision=jax.lax.Precision.HIGHEST)
-        s = jnp.einsum("...n,...kjn->...kj", windows, jnp.sin(ang), precision=jax.lax.Precision.HIGHEST)
-        return c * c + s * s
+        kk = f.shape[-2] * f.shape[-1]
+        ff = f.reshape(*f.shape[:-2], kk)
+        c1, s1, c2, s2 = _factored_trig(ff, n // n2, n2)
+        c, s = _trig_dot(xr, c1, s1, c2, s2)
+        p = c * c + s * s
+        return p.reshape(*f.shape)
 
     offsets = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
     p = None
@@ -323,37 +380,37 @@ def _sinusoid_fit(windows: jax.Array, freq: jax.Array, refine: int = 2,
     pollute resid_energy — and hence snr/score — of the valid cycles.
 
     Returns (a [..., k], b [..., k], residual_energy [...]).
+
+    Trig factorization: the [..., k, n] cos/sin basis is never built;
+    both H^T v and H c go through the (n1, n2)-split tables
+    (`_factored_trig`), so the transcendental count per window drops from
+    2*k*n to 2*k*(n1+n2) and the basis never touches HBM.
     """
     n = windows.shape[-1]
-    t = jnp.arange(n, dtype=jnp.float32)
-    ang = 2.0 * jnp.pi * freq[..., None] * t  # [..., k, n]
-    cos_t, sin_t = jnp.cos(ang), jnp.sin(ang)
+    n2 = _split_n2(n)
+    xr = windows.reshape(*windows.shape[:-1], n // n2, n2)
+    c1, s1, c2, s2 = _factored_trig(freq, n // n2, n2)  # [..., k, n1|n2]
     if valid is not None:
-        cos_t = cos_t * valid[..., None]
-        sin_t = sin_t * valid[..., None]
+        # Zeroing the coarse tables zeroes both basis columns exactly.
+        c1 = c1 * valid[..., None]
+        s1 = s1 * valid[..., None]
 
-    def ht_x(v):  # H^T v: [..., n] -> [..., 2k]
-        return (
-            jnp.einsum("...kn,...n->...k", cos_t, v, precision=jax.lax.Precision.HIGHEST),
-            jnp.einsum("...kn,...n->...k", sin_t, v, precision=jax.lax.Precision.HIGHEST),
-        )
+    def ht_x(vr):  # H^T v: v reshaped [..., n1, n2] -> [..., k] x2
+        return _trig_dot(vr, c1, s1, c2, s2)
 
-    def h_c(a, b):  # H c: [..., k] -> [..., n]
-        return jnp.einsum(
-            "...k,...kn->...n", a, cos_t, precision=jax.lax.Precision.HIGHEST
-        ) + jnp.einsum(
-            "...k,...kn->...n", b, sin_t, precision=jax.lax.Precision.HIGHEST
-        )
+    def h_c(a, b):  # H c: [..., k] -> [..., n1, n2]
+        h = _trig_synth(a, b, c1, s1, c2, s2, n)
+        return h.reshape(*xr.shape)
 
     scale = 2.0 / n
-    a, b = ht_x(windows)
+    a, b = ht_x(xr)
     a, b = scale * a, scale * b
     for _ in range(refine):
-        resid = windows - h_c(a, b)
+        resid = xr - h_c(a, b)
         da, db = ht_x(resid)
         a, b = a + scale * da, b + scale * db
-    resid = windows - h_c(a, b)
-    return a, b, jnp.sum(resid * resid, axis=-1)
+    resid = xr - h_c(a, b)
+    return a, b, jnp.sum(resid * resid, axis=(-2, -1))
 
 
 def music_extract(windows: jax.Array, cfg) -> jax.Array:
