@@ -94,6 +94,50 @@ def test_run_pipeline_filtered_output():
     assert out["filtered"].shape == (1024,)
 
 
+def test_segmented_preset_roundtrip_colored_slots():
+    """VERDICT r1 item 4: parse -> run -> decode of a SEGMENTED preset must
+    produce colored wave slots (`BuildWavePresetTemplate` grammar,
+    `gpu_wip.mq5:550-572`; wave_colors `gpu_wip.mq5:227,675-679`)."""
+    from wavespec_tpu.pipeline import build_wave_preset_template
+
+    text = build_wave_preset_template(
+        segment_len=256, overlap=64, mix_mode=0, top_cycles=2,
+        min_period=10.0, max_period=200.0, wave_slots=2,
+        stage_time="dc(mode=0)", window=1024,
+    )
+    spec = parse_preset(text)
+    assert spec.segment is not None
+    assert spec.segment.segment_len == 256
+    assert spec.segment.resolved_overlap() == 64
+    assert spec.extract.window == 1024
+    assert [s.name for s in spec.time_stages] == ["dc"]
+
+    out = run_pipeline(jnp.asarray(planted()), spec)
+    # Segmented spectral products: segment_len/2 bins, not window/2.
+    assert out["fft"].shape == (128,)
+    assert out["phase"].shape == (128,)
+    assert out["fft_power"].shape == (128,)
+    assert np.all(np.asarray(out["fft_power"]) >= 0)  # ENERGY mix is power
+    # Colored slots: bull/bear flags for the valid slots, in {0, 1}.
+    colors = np.asarray(out["wave_colors"])
+    assert colors.shape == (2,)
+    assert set(np.unique(colors)).issubset({0.0, 1.0})
+    # The planted 64-bar cycle must land in a slot with a color matching
+    # its rising/falling state (cos(phase) sign).
+    phases = np.asarray(out["attrs"][:, 3])
+    periods = np.asarray(out["attrs"][:, 2])
+    slot = int(np.argmin(np.abs(periods - 64.0)))
+    assert colors[slot] == (1.0 if np.cos(phases[slot]) > 0 else 0.0)
+
+
+def test_segmented_preset_auto_overlap():
+    spec = parse_preset(
+        "extract: window=1024, top_k=2, min_period=10, max_period=200;"
+        " segment: len=256, auto_overlap=0.25; waves: 2"
+    )
+    assert spec.segment.resolved_overlap() == 64
+
+
 # ----------------------------------------------------------------- drivers
 
 
@@ -136,6 +180,30 @@ def test_online_driver_incremental_no_repaint():
     out2 = drv.update(x)
     np.testing.assert_array_equal(out2["wave"][:calc1], wave_snapshot)
     assert int(out2["calculated"]) > calc1
+
+
+def test_online_driver_session_routing():
+    """OnlineDriver.session routes extraction through the async job queue
+    (`1.1.0:1266-1411`) and skips chunks when the session is not ready
+    (skip-bar-no-fallback, `1.1.0:1243-1247`)."""
+    x = planted(1400)
+    plain = OnlineDriver(ecfg=small_ecfg(), history_chunk=400)
+    out_plain = plain.update(x)
+
+    s = Session()
+    assert s.init(0, 64) == Status.OK
+    sess_driver = OnlineDriver(ecfg=small_ecfg(), history_chunk=400, session=s)
+    out_sess = sess_driver.update(x)
+    np.testing.assert_allclose(out_sess["wave"], out_plain["wave"], rtol=1e-6)
+    assert sess_driver.prev_calculated == plain.prev_calculated
+    assert s.queue.pending() == 0  # job freed after drain
+
+    # Not-ready session: chunk skipped, buffers unchanged, no advance.
+    s2 = Session()  # never init'ed
+    skip_driver = OnlineDriver(ecfg=small_ecfg(), history_chunk=400, session=s2)
+    out_skip = skip_driver.update(x)
+    assert skip_driver.prev_calculated == 0
+    assert out_skip["wave"].shape[0] == 0
 
 
 def test_online_driver_chunk_bound():

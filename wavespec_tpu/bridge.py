@@ -320,6 +320,9 @@ class _TemplateResult:
     cycles: np.ndarray
     wave_values: np.ndarray
     wave_periods: np.ndarray
+    # Per-slot bull/bear color flags — the reference consumes them as
+    # `(flag > 0.5) ? BULL : BEAR` (`gpu_wip.mq5:227,675-679`).
+    wave_colors: np.ndarray
     kalman_value: float
 
 
@@ -348,6 +351,7 @@ def mt_gpu_wave_try_get_template_job(job_id: int):
         cycles=np.asarray(out["attrs"]),
         wave_values=np.asarray(out["wave_values"]),
         wave_periods=np.asarray(out["wave_periods"]),
+        wave_colors=np.asarray(out["wave_colors"]),
         kalman_value=float(out["kalman_value"]),
     )
 

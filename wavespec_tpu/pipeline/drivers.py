@@ -180,6 +180,11 @@ class OnlineDriver:
     # Cap on live bars kept in the rolling computation (0 = unlimited) —
     # `InpMaxLiveBars` (`1.1.0:69`).
     max_live_bars: int = 0
+    # Optional session: when set, extraction is routed through the
+    # session's async job queue (`1.1.0:1266-1411` submit/drain analog) and
+    # the skip-bar-no-fallback policy applies (`1.1.0:1243-1247`,
+    # CHANGELOG.md:17-19): a non-ready session skips the chunk — buffers
+    # are returned unchanged, never silently computed on a fallback path.
     session: Session | None = None
 
     prev_calculated: int = 0
@@ -219,7 +224,22 @@ class OnlineDriver:
         # windows ending at bars [first_needed, end)
         start_of_first = first_needed - (w - 1)
         chunk = series[start_of_first:end]
-        attrs = extract_cycles_batch(jnp.asarray(chunk, jnp.float32), self.ecfg, hop=1)
+        if self.session is not None:
+            if not self.session.ready:
+                # skip-bar-no-fallback: leave buffers as-is, do not advance.
+                return self.buffers()
+            jid = self.session.queue.submit(
+                lambda s: extract_cycles_batch(
+                    jnp.asarray(s, jnp.float32), self.ecfg, hop=1
+                ),
+                chunk,
+            )
+            attrs = self.session.queue.result(jid)  # blocking drain
+            self.session.queue.free(jid)  # job-leak prevention (`1.1.0:705-709`)
+        else:
+            attrs = extract_cycles_batch(
+                jnp.asarray(chunk, jnp.float32), self.ecfg, hop=1
+            )
         decoded = decode_causal(attrs, self.rcfg)
 
         def app(cur, new):

@@ -15,7 +15,11 @@ preset) compiled by `compile_pipeline` into a single jitted program. A
     "time: zero_pad(left=0,right=0) | dc(mode=0,alpha=0.98);
      freq: denoise(threshold=0.1,beta=0.75) | mask(low=0.15,high=0.85);
      extract: window=4096, top_k=4, method=music, min_period=9,
-              max_period=200, ar_order=10; waves: 2"
+              max_period=200, ar_order=10;
+     segment: len=16384, overlap=4096, mix=energy; waves: 2"
+
+The `segment` section is the `BuildWavePresetTemplate` segmentation triple
+(`gpu_wip.mq5:550-572`) — see `SegmentSpec` / `build_wave_preset_template`.
 """
 
 from __future__ import annotations
@@ -51,6 +55,28 @@ class Stage:
 
 
 @dataclasses.dataclass(frozen=True)
+class SegmentSpec:
+    """Segmented-FFT preset parameters (`BuildWavePresetTemplate`'s
+    segment_len/overlap/mix_mode, `gpu_wip.mq5:550-572`, inputs `:33-38`).
+
+    `overlap < 0` means auto-tune: overlap = `overlap_pct * segment_len`
+    (`InpSegmentAutoTune`/`InpSegmentOverlapPct`, `gpu_wip.mq5:35-38`).
+    """
+
+    segment_len: int = 16384
+    overlap: int = -1
+    mix_mode: int = 0  # mesh.MixMode value (0=energy, 1=coherent, 2=max)
+    overlap_pct: float = 0.25
+
+    def resolved_overlap(self) -> int:
+        if self.overlap >= 0:
+            return self.overlap
+        from wavespec_tpu.mesh.segmented import auto_overlap
+
+        return auto_overlap(self.segment_len, self.overlap_pct)
+
+
+@dataclasses.dataclass(frozen=True)
 class PipelineSpec:
     """Full template-job specification."""
 
@@ -60,6 +86,9 @@ class PipelineSpec:
     reconstruct: ReconstructConfig = ReconstructConfig()
     wave_slots: int = 2
     emit_filtered: bool = False  # inverse-FFT the processed spectrum
+    # Segmented long-window FFT for the spectral products (None = plain
+    # full-window rFFT). Extraction always sees the full window.
+    segment: SegmentSpec | None = None
 
 
 _TIME_STAGES = {"zero_pad", "resample", "dc"}
@@ -130,7 +159,20 @@ def run_pipeline(series: jax.Array, spec: PipelineSpec):
     window = x[..., -spec.extract.window:]
     attrs = extract_cycles(window, spec.extract)
 
-    spec_bins = rfft_mxu(window)
+    if spec.segment is not None:
+        # Segmented long-window preset (`gpu_wave_fft_segmented` inside the
+        # template job): the COHERENT complex mix feeds the freq stages and
+        # phase products (they need a complex spectrum); the preset's own
+        # mix_mode shapes the `fft_power` product below.
+        from wavespec_tpu.mesh.segmented import MixMode, fft_segmented
+
+        seg_len = spec.segment.segment_len
+        seg_ov = spec.segment.resolved_overlap()
+        spec_bins = fft_segmented(
+            window, seg_len, seg_ov, MixMode.COHERENT
+        )
+    else:
+        spec_bins = rfft_mxu(window)
     for st in spec.freq_stages:
         spec_bins = _apply_freq_stage(spec_bins, st)
 
@@ -154,10 +196,21 @@ def run_pipeline(series: jax.Array, spec: PipelineSpec):
         "wave_values": decoded["wave"][0],
         "wave_periods": decoded["period"][0],
         "wave_eta_seconds": decoded["eta_seconds"][0],
+        # Per-slot bull/bear flags, consumed as (flag > 0.5) ? BULL : BEAR
+        # (`mt_gpu_wave_try_get_template_job`'s wave_colors,
+        # `gpu_wip.mq5:227,675-679`).
+        "wave_colors": decoded["color"][0],
         "kalman_value": jnp.sum(
             jnp.where(attrs[:, 0] > 0, attrs[:, 12], 0.0)
         ),  # sum of per-cycle one-step predictions (KALMAN_PRED field)
     }
+    if spec.segment is not None:
+        from wavespec_tpu.mesh.segmented import MixMode, fft_segmented
+
+        out["fft_power"] = fft_segmented(
+            window, spec.segment.segment_len, spec.segment.resolved_overlap(),
+            MixMode(spec.segment.mix_mode),
+        )
     if spec.emit_filtered:
         out["filtered"] = irfft_mxu(spec_bins, n_eff)
     return out
@@ -189,6 +242,7 @@ def _parse_stage_list(text: str) -> tuple[Stage, ...]:
 
 _METHODS = {"fft": Method.FFT_RIDGE, "ridge": Method.FFT_RIDGE,
             "music": Method.MUSIC, "auto": Method.AUTO}
+_MIXES = {"energy": 0, "coherent": 1, "max": 2}
 _TAPERS = {"none": WindowType.NONE, "hann": WindowType.HANN,
            "hamming": WindowType.HAMMING, "blackman": WindowType.BLACKMAN,
            "bartlett": WindowType.BARTLETT}
@@ -233,10 +287,71 @@ def parse_preset(text: str) -> PipelineSpec:
             else:
                 ekw[k] = float(v)
 
+    segment = None
+    if "segment" in sections and sections["segment"]:
+        skw: dict = {}
+        for kv in sections["segment"].split(","):
+            k, _, v = kv.partition("=")
+            k, v = k.strip().lower(), v.strip()
+            if k in ("len", "segment_len", "length"):
+                skw["segment_len"] = int(v)
+            elif k == "overlap":
+                skw["overlap"] = int(v)
+            elif k in ("mix", "mix_mode"):
+                skw["mix_mode"] = _MIXES[v.lower()] if v.lower() in _MIXES else int(v)
+            elif k in ("overlap_pct", "auto_overlap"):
+                skw["overlap_pct"] = float(v)
+            else:
+                raise ValueError(f"unknown segment param {k!r}")
+        segment = SegmentSpec(**skw)
+
     wave_slots = int(sections.get("waves", "2"))
     return PipelineSpec(
         time_stages=time_stages,
         freq_stages=freq_stages,
         extract=ExtractConfig(**ekw),
         wave_slots=wave_slots,
+        segment=segment,
     )
+
+
+_MIX_NAMES = {0: "energy", 1: "coherent", 2: "max"}
+
+
+def build_wave_preset_template(
+    segment_len: int,
+    overlap: int,
+    mix_mode: int,
+    top_cycles: int,
+    min_period: float,
+    max_period: float,
+    wave_slots: int,
+    stage_time: str = "",
+    stage_freq: str = "",
+    *,
+    window: int = 0,
+) -> str:
+    """`BuildWavePresetTemplate` parity (`gpu_wip.mq5:550-572`; the builder
+    itself lives in the repo-absent `WavePresetDsl.mqh`).
+
+    Emits the text preset for one segmented template job; `segment_len <= 0`
+    disables segmentation (`InpEnableSegmentedFft=false`). `stage_time` /
+    `stage_freq` are user-overridable stage strings
+    (`InpPresetStageTime/Freq`, `gpu_wip.mq5:43-45`).
+    """
+    parts = []
+    if stage_time:
+        parts.append(f"time: {stage_time}")
+    if stage_freq:
+        parts.append(f"freq: {stage_freq}")
+    ex = [f"top_k={int(top_cycles)}", f"min_period={min_period}",
+          f"max_period={max_period}"]
+    if window:
+        ex.insert(0, f"window={int(window)}")
+    parts.append("extract: " + ", ".join(ex))
+    if segment_len > 0:
+        mix = _MIX_NAMES.get(int(mix_mode), str(int(mix_mode)))
+        parts.append(f"segment: len={int(segment_len)}, "
+                     f"overlap={int(overlap)}, mix={mix}")
+    parts.append(f"waves: {int(wave_slots)}")
+    return "; ".join(parts)

@@ -147,8 +147,13 @@ def decode_causal(attrs: jax.Array, cfg: ReconstructConfig = ReconstructConfig()
     eta_bars = slot[..., ex.ETA_BARS]
     eta_conf = slot[..., ex.ETA_CONFIDENCE]
     forecast_ok = valid & (eta_bars > 1.0) & (eta_conf >= cfg.min_eta_conf)
+    # Per-slot bull/bear color flag: the template job returns wave_colors
+    # consumed as `(flag > 0.5) ? BULL : BEAR` (`gpu_wip.mq5:675-679`).
+    # A cycle A*sin(phase) is rising at the newest bar iff cos(phase) > 0.
+    color_flag = jnp.where(valid & (jnp.cos(phase) > 0.0), 1.0, 0.0)
     return {
         "wave": vz(wave),
+        "color": color_flag,
         "period": vz(slot[..., ex.PERIOD]),
         "eta_seconds": vz(slot[..., ex.ETA_SECONDS]),
         "eta_bars": vz(eta_bars),
