@@ -1,0 +1,90 @@
+"""External-oracle gate for the integrated v757 pipeline (VERDICT r1 #5).
+
+`tests/oracle_v757.py` is an independent NumPy transcription of the open
+v7.57 MQL5 math (no wavespec_tpu imports). Here the full JAX pipeline in
+reference-exact configuration (all-bin candidates, sequential matching)
+is run over one synthetic recorded price series and its integrated
+per-bar outputs — slot periods, activity, states/colors, ETAs, cycle
+waveforms — are gated against the transcription.
+"""
+
+import numpy as np
+import pytest
+
+from tests.oracle_v757 import run_oracle
+from wavespec_tpu.analyze.trackers import TrackerConfig
+from wavespec_tpu.extract import DetrendMode
+from wavespec_tpu.ops.windows import WindowType
+from wavespec_tpu.pipeline.v757 import V757Config, run_v757
+
+WINDOW = 256
+N_BARS = 700
+
+
+def _price_series(n=N_BARS, seed=7):
+    t = np.arange(n)
+    rng = np.random.default_rng(seed)
+    return (
+        100.0
+        + np.cumsum(0.03 * rng.standard_normal(n))
+        + 1.5 * np.sin(2 * np.pi * t / 24.0)
+        + 1.0 * np.sin(2 * np.pi * t / 40.0)
+    ).astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def both():
+    series = _price_series()
+    oracle = run_oracle(
+        series, window=WINDOW, min_period=18.0, max_period=52.0,
+        trend_period=1024, window_type="blackman", bandwidth=0.5,
+        seconds_per_bar=60.0,
+    )
+    cfg = V757Config(
+        window=WINDOW, min_period=18.0, max_period=52.0, trend_period=1024,
+        taper=WindowType.BLACKMAN, detrend=DetrendMode.EHLERS,
+        n_candidates=0,
+        tracker=TrackerConfig(capacity=64, sequential_match=True),
+        seconds_per_bar=60.0, enable_kalman=False,
+    )
+    ours = run_v757(series.astype(np.float32), cfg, hop=1)
+    # frame f of ours = bar WINDOW-1+f of the oracle
+    sl = slice(WINDOW - 1, None)
+    return {k: v[sl] for k, v in oracle.items()}, ours
+
+
+def test_slot_activity_matches(both):
+    oracle, ours = both
+    np.testing.assert_array_equal(ours["slot_valid"], oracle["active"])
+
+
+def test_slot_periods_match(both):
+    oracle, ours = both
+    np.testing.assert_allclose(
+        ours["slot_period"], oracle["period"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_states_and_colors_match(both):
+    oracle, ours = both
+    np.testing.assert_array_equal(ours["states"], oracle["states"])
+    np.testing.assert_array_equal(ours["color"], oracle["color"])
+
+
+def test_cycle_waveforms_match(both):
+    oracle, ours = both
+    scale = np.abs(oracle["cycle"]).max()
+    np.testing.assert_allclose(
+        ours["cycle_values"], oracle["cycle"], atol=2e-4 * max(scale, 1.0)
+    )
+
+
+def test_etas_match(both):
+    oracle, ours = both
+    scale = max(1.0, np.abs(oracle["eta_raw"]).max())
+    np.testing.assert_allclose(
+        ours["eta_raw"], oracle["eta_raw"], atol=5e-3 * scale
+    )
+    np.testing.assert_allclose(
+        ours["eta_display"], oracle["eta"], atol=5e-3 * scale
+    )

@@ -133,8 +133,15 @@ def eta_state_machine(
     periods: jax.Array,        # [..., t] slot period per bar (bars)
     group_delay: jax.Array,    # [..., t] group delay at the slot's bin (bars)
     cfg: EtaConfig = EtaConfig(),
+    valid: jax.Array | None = None,  # [..., t] slot active per bar
 ):
     """Run `UpdateCycleEtaAndState` over bars.
+
+    `valid` marks bars where the slot is active; on inactive bars the
+    reference never calls `UpdateCycleEtaAndState` — the else branch
+    writes color 0, eta 0 and resets the countdown memory
+    (`...pla-kalman.mq5:3578-3588` `g_last_eta_seconds[c] = 0`), and no
+    phase history is stored. `None` = all bars active.
 
     Returns dict of [..., t]: color (1 bull / 0 bear), eta_display (signed
     bars, bullish floored at +1), eta_raw (signed bars), eta_seconds.
@@ -142,25 +149,31 @@ def eta_state_machine(
     spb = cfg.seconds_per_bar
     lag_cap = cfg.lag_buffer
 
-    def single(vals, pers, gds):
+    def single(vals, pers, gds, vld):
         t_len = vals.shape[0]
 
         def step(carry, xs):
             (color_prev, bars_in_phase, last_eta, bull_hist, bear_hist,
              est_cache, ring, tpos) = carry
-            v, v_prev, period, gd, is_first = xs
+            v, v_prev, period, gd, is_first, ok = xs
 
             start_bullish = v >= 0.0
             is_bullish = jnp.where(is_first, start_bullish, v >= v_prev)
-            color = jnp.where(is_bullish, 1.0, 0.0)
-            color_changed = (~is_first) & (color != color_prev)
+            color = jnp.where(ok & is_bullish, 1.0, 0.0)
+            color_changed = (~is_first) & (color != color_prev) & ok
 
-            # CountBarsInCurrentPhase: incremental (current bar inclusive)
-            bars_now = jnp.where(color_changed | is_first, 1, bars_in_phase + 1)
+            # CountBarsInCurrentPhase: incremental (current bar inclusive),
+            # over the WRITTEN color stream (inactive bars write 0).
+            bars_now = jnp.where(
+                is_first | (color != color_prev), 1, bars_in_phase + 1
+            )
 
-            # quarter-period lag from the ring buffer
-            q = jnp.clip(jnp.maximum(1.0, jnp.round(period / 4.0)).astype(jnp.int32),
-                         1, lag_cap - 1)
+            # quarter-period lag from the ring buffer. MathRound is
+            # half-AWAY-FROM-ZERO (floor(x+0.5) for x>0), not banker's
+            # rounding (`:1334` q = MathMax(1, MathRound(period/4))).
+            q = jnp.clip(
+                jnp.maximum(1.0, jnp.floor(period / 4.0 + 0.5)).astype(jnp.int32),
+                1, lag_cap - 1)
             lag_idx = jnp.mod(tpos - q, lag_cap)
             v_lag = ring[lag_idx]
             lag_ok = tpos >= q
@@ -237,6 +250,7 @@ def eta_state_machine(
             )
             eta_sec = jnp.where(period > 0, eta_sec, 0.0)
             eta_sec = jnp.where(is_first, 0.0, eta_sec)  # `:3049-3056`
+            eta_sec = jnp.where(ok, eta_sec, 0.0)  # inactive slot -> 0
 
             eta_bars = eta_sec / spb
             eta_signed = jnp.where(color > 0.5, eta_bars, -eta_bars)
@@ -245,8 +259,8 @@ def eta_state_machine(
                 1.0,
                 eta_signed,
             )
-            eta_display = jnp.where(period > 0, eta_display, 0.0)
-            eta_raw = jnp.where(period > 0, eta_signed, 0.0)
+            eta_display = jnp.where((period > 0) & ok, eta_display, 0.0)
+            eta_raw = jnp.where((period > 0) & ok, eta_signed, 0.0)
 
             ring = ring.at[jnp.mod(tpos, lag_cap)].set(v)
             carry = (color, bars_now, eta_sec, bull_hist, bear_hist,
@@ -266,10 +280,12 @@ def eta_state_machine(
             jnp.asarray(0, jnp.int32),
         )
         _, (color, eta_display, eta_raw, eta_sec) = jax.lax.scan(
-            step, init, (vals, v_prev, pers, gds, is_first)
+            step, init, (vals, v_prev, pers, gds, is_first, vld)
         )
         return color, eta_display, eta_raw, eta_sec
 
+    if valid is None:
+        valid = jnp.ones(cycle_values.shape, bool)
     fn = single
     for _ in range(cycle_values.ndim - 1):
         fn = jax.vmap(fn)
@@ -277,6 +293,7 @@ def eta_state_machine(
         cycle_values.astype(jnp.float32),
         periods.astype(jnp.float32),
         group_delay.astype(jnp.float32),
+        jnp.broadcast_to(jnp.asarray(valid, bool), cycle_values.shape),
     )
     return {
         "color": color,

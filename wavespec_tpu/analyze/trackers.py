@@ -48,6 +48,13 @@ class TrackerConfig:
     leak_power_ratio: float = 0.70
     leak_min_bars: int = 2
     leak_max_bars: int = 8
+    # Reference-exact candidate matching: process candidates SEQUENTIALLY
+    # (a lax.scan within the frame), so later candidates see earlier
+    # updates — the v7.57 in-frame "period drag" semantics where adjacent
+    # bins keep re-matching the same tracker (`:3530-3551` feeding
+    # `FindClosestTracker` after each `UpdateTracker`). Default False =
+    # the vectorized order-free matcher (same steady state, faster).
+    sequential_match: bool = False
 
 
 class TrackerState(NamedTuple):
@@ -114,12 +121,85 @@ def _match_candidates(state: TrackerState, cand_period, cand_valid, cfg):
     return trk_matched, winner_j, cand_won
 
 
+def _sequential_match_update(state: TrackerState, frame, cfg: TrackerConfig):
+    """Reference-exact in-frame candidate processing (`:3530-3551`).
+
+    A lax.scan over candidates: each candidate matches the CLOSEST
+    currently-eligible tracker within tolerance (ties broken by creation
+    order = smallest uid, the reference's first-array-index rule) and
+    updates it immediately — later candidates of the same frame see the
+    update (the "period drag" dynamics of the all-bins scan). Unmatched
+    candidates allocate a dead capacity row (the reference appends
+    unboundedly; overflow drops extras as documented).
+
+    Returns (period, power, fft_index, alive, seen, uid, next_uid).
+    """
+    cand_period, cand_power, cand_fft, cand_valid = frame
+    c = cfg.capacity
+    rows = jnp.arange(c)
+    imax = jnp.iinfo(jnp.int32).max
+
+    def one_candidate(carry, cand):
+        period, power, fft_index, alive, seen, uid, next_uid, bi = carry
+        p, pw, fi, ok = cand
+        eligible = alive & (bi == 0)
+        diff = jnp.abs(period - p)
+        avg = 0.5 * (period + p)
+        pct = jnp.where(avg > 0, diff / jnp.maximum(avg, 1e-30) * 100.0, BIG)
+        within = (
+            eligible & ok & (p > 0) & (period > 0) & (pct <= cfg.tolerance_pct)
+        )
+        cost = jnp.where(within, diff, BIG)
+        min_cost = jnp.min(cost)
+        matched = min_cost < BIG
+        tie = within & (cost <= min_cost)
+        best = jnp.argmin(jnp.where(tie, uid, imax))
+        hit = matched & (rows == best)
+
+        dead = ~alive
+        can_alloc = (~matched) & ok & (p > 0) & jnp.any(dead)
+        new_row = jnp.argmax(dead)
+        make = can_alloc & (rows == new_row)
+
+        touch = hit | make
+        period = jnp.where(touch, p, period)
+        power = jnp.where(touch, pw, power)
+        fft_index = jnp.where(touch, fi, fft_index)
+        seen = seen | touch
+        alive = alive | make
+        bi = jnp.where(touch, 0, bi)  # AddTracker/UpdateTracker reset
+        uid = jnp.where(make, next_uid, uid)
+        next_uid = next_uid + can_alloc.astype(jnp.int32)
+        return (period, power, fft_index, alive, seen, uid, next_uid, bi), None
+
+    init = (state.period, state.power, state.fft_index, state.alive,
+            jnp.zeros(c, bool), state.uid, state.next_uid,
+            state.bars_inactive)
+    (period, power, fft_index, alive, seen, uid, next_uid, _), _ = jax.lax.scan(
+        one_candidate, init,
+        (cand_period, cand_power, cand_fft, cand_valid),
+    )
+    return period, power, fft_index, alive, seen, uid, next_uid
+
+
 def tracker_step(state: TrackerState, frame, cfg: TrackerConfig):
     """Advance one frame. frame = (periods [J], powers [J], fft_idx [J],
     valid [J]). Returns (new_state, slot_outputs dict)."""
     cand_period, cand_power, cand_fft, cand_valid = frame
     c = cfg.capacity
     j = cand_period.shape[0]
+
+    if cfg.sequential_match:
+        (period, power, fft_index, alive, seen, uid, next_uid) = (
+            _sequential_match_update(state, frame, cfg)
+        )
+        bars_inactive = jnp.where(seen, 0, state.bars_inactive + 1)
+        killed = alive & ~seen & (bars_inactive >= cfg.max_inactive)
+        alive = alive & ~killed
+        return _slots_and_leaks(
+            state, cfg, period, power, fft_index, alive, seen,
+            bars_inactive, uid, next_uid,
+        )
 
     trk_matched, winner_j, cand_won = _match_candidates(
         state, cand_period, cand_valid, cfg
@@ -169,6 +249,19 @@ def tracker_step(state: TrackerState, frame, cfg: TrackerConfig):
     killed = alive & ~seen & (bars_inactive >= cfg.max_inactive)
     alive = alive & ~killed
 
+    return _slots_and_leaks(
+        state, cfg, period, power, fft_index, alive, seen, bars_inactive,
+        uid, next_uid,
+    )
+
+
+def _slots_and_leaks(
+    state: TrackerState, cfg: TrackerConfig, period, power, fft_index,
+    alive, seen, bars_inactive, uid, next_uid,
+):
+    """Stable slot assignment + leakage detection + state assembly
+    (shared by the vectorized and sequential matchers)."""
+    c = cfg.capacity
     # --- stable slot assignment ---
     s = cfg.n_slots
     # a slot keeps its uid while that tracker is alive
@@ -188,12 +281,17 @@ def tracker_step(state: TrackerState, frame, cfg: TrackerConfig):
     used = jnp.zeros(c, bool)
     for si in range(s):
         used = used | ((jnp.arange(c) == slot_row[si]) & slot_keep[si])
-    # fill free slots with strongest unused alive trackers, strongest first
+    # fill free slots with strongest unused alive trackers, strongest
+    # first; power ties go to the OLDEST tracker (min uid) — the
+    # reference's bubble sort is stable over array order = creation order
+    # (`:1596-1609`).
+    imax = jnp.iinfo(jnp.int32).max
     for si in range(s):
         free = ~slot_keep[si]
         score = jnp.where(alive & ~used, power, -1.0)
-        best = jnp.argmax(score)
-        ok = free & (score[best] > 0)
+        top = jnp.max(score)
+        best = jnp.argmin(jnp.where(score >= top, uid, imax))
+        ok = free & (top > 0)
         slot_row = slot_row.at[si].set(jnp.where(ok, best, slot_row[si]))
         slot_uid = slot_uid.at[si].set(jnp.where(ok, uid[best], slot_uid[si]))
         used = used | (ok & (jnp.arange(c) == best))
@@ -220,8 +318,13 @@ def tracker_step(state: TrackerState, frame, cfg: TrackerConfig):
         & (uid[None, :] != slot_uid[:, None])
     )                                                                # [S, C]
     leak_score = jnp.where(cand_is_leak, power[None, :], -1.0)
-    best_leak = jnp.argmax(leak_score, axis=1)                       # [S]
-    found_leak = jnp.max(leak_score, axis=1) > 0
+    # strongest leak; power ties -> oldest tracker (reference scans in
+    # array order with a strict `>` comparison, `:1735-1741`)
+    top_leak = jnp.max(leak_score, axis=1, keepdims=True)            # [S, 1]
+    best_leak = jnp.argmin(
+        jnp.where(leak_score >= top_leak, uid[None, :], imax), axis=1
+    )                                                                # [S]
+    found_leak = jnp.squeeze(top_leak, -1) > 0
     best_leak_uid = uid[best_leak]
 
     # expire old leaks past max_bars (pre-increment like the reference)

@@ -41,9 +41,15 @@ def biquad_coeffs(period: jax.Array, bandwidth: float = 0.5):
     )
 
 
-@partial(jax.jit, static_argnames=("bandwidth",))
+@partial(jax.jit, static_argnames=("bandwidth", "zero_first"))
 def bandpass_cycle(
-    price: jax.Array, period: jax.Array, bandwidth: float = 0.5
+    price: jax.Array,
+    period: jax.Array,
+    bandwidth: float = 0.5,
+    *,
+    valid: jax.Array | None = None,
+    price_prev: jax.Array | None = None,
+    zero_first: int = 2,
 ) -> jax.Array:
     """Band-pass `price` ``[..., t]`` at `period`.
 
@@ -52,8 +58,21 @@ def bandpass_cycle(
     with the slot's current dominant period (`CalculateCycle` is called
     per bar), i.e. a time-varying recursion; the associative-scan
     formulation handles that for free since each step carries its own
-    companion matrix. Returns the cycle waveform ``[..., t]``;
-    y[0] = y[1] = 0 per the reference's i < 2 guard.
+    companion matrix. Returns the cycle waveform ``[..., t]``.
+
+    Reference-exact boundary semantics (`CalculateCycle`,
+    `...pla-kalman.mq5:2888-2913` + the inactive-slot else branch
+    `:3578-3588`):
+    - a frame with `period <= 0`, `valid == False`, or index < `zero_first`
+      writes 0 to the buffer while y[i-1] PASSES THROUGH the state (the
+      reference writes 0 and later bars still read the older history two
+      back), i.e. step matrix [[0,0],[1,0]] with zero forcing;
+    - `price_prev` ``[..., 2]`` = (x[-2], x[-1]), the two price samples
+      before frame 0 — the reference's filter runs over the global price
+      array, so the first analyzed bars see real earlier prices
+      (`zero_first=0` + `price_prev` gives the exact v7.57 alignment;
+      the default `zero_first=2` keeps the standalone-filter convention
+      of y[0] = y[1] = 0).
     """
     price = price.astype(jnp.float32)
     t = price.shape[-1]
@@ -63,21 +82,29 @@ def bandpass_cycle(
     period_b = jnp.broadcast_to(period, price.shape)
     b0, b2, a1, a2 = biquad_coeffs(jnp.maximum(period_b, 2.01), bandwidth)
 
-    # forcing term u[i] = b0 x[i] + b2 x[i-2]; x[<0] treated as 0
-    x_m2 = jnp.concatenate([jnp.zeros_like(price[..., :2]), price[..., :-2]], axis=-1)
+    # forcing term u[i] = b0 x[i] + b2 x[i-2]
+    if price_prev is None:
+        x_pre = jnp.zeros_like(price[..., :2])
+    else:
+        x_pre = jnp.broadcast_to(
+            jnp.asarray(price_prev, jnp.float32), (*price.shape[:-1], 2)
+        )
+    x_m2 = jnp.concatenate([x_pre, price[..., :-2]], axis=-1)
     u = b0 * price + b2 * x_m2
-    # reference zeroes outputs for i < 2 (and for period <= 0) ->
-    # zero the forcing there too
-    mask = (jnp.arange(t) >= 2) & (period_b > 0)
-    u = u * mask
+
+    live = (jnp.arange(t) >= zero_first) & (period_b > 0)
+    if valid is not None:
+        live = live & valid
+    u = u * live
 
     # state s_i = [y_i, y_{i-1}] = A_i s_{i-1} + [u_i, 0],
-    # A_i = [[-a1_i, -a2_i], [1, 0]]; associative combine of (M, v) pairs.
+    # A_i = [[-a1_i, -a2_i], [1, 0]] on live frames,
+    # A_i = [[0, 0], [1, 0]] on zeroed frames (y_i = 0, y_{i-1} carries).
     zeros = jnp.zeros_like(u)
     ones = jnp.ones_like(u)
     m = jnp.stack(
         [
-            jnp.stack([-a1, -a2], axis=-1),
+            jnp.stack([-a1 * live, -a2 * live], axis=-1),
             jnp.stack([ones, zeros], axis=-1),
         ],
         axis=-2,

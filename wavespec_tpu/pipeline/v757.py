@@ -49,7 +49,12 @@ class V757Config:
     bandwidth: float = 0.5        # biquad band-pass octaves
     taper: WindowType = WindowType.BLACKMAN
     detrend: DetrendMode = DetrendMode.EHLERS
-    n_candidates: int = 24        # top candidates fed to the trackers
+    # Candidates fed to the trackers per frame. 0 = reference-exact: ALL
+    # in-band bins in ascending-bin order (`:3505-3516` scans every j in
+    # [ceil(N/maxP), floor(N/minP)] — no top-k pre-selection); n > 0 =
+    # strongest n bins (a documented deviation that keeps the tracker
+    # candidate set spectrally meaningful at large windows).
+    n_candidates: int = 24
     tracker: TrackerConfig = TrackerConfig()
     eta_mode: EtaMode = EtaMode.PHASE_NEXT_EXTREMUM
     seconds_per_bar: float = 60.0
@@ -71,13 +76,21 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
     k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
-    mask = (jnp.arange(n // 2) >= k_min) & (jnp.arange(n // 2) <= k_max)
-    inband = jnp.where(mask, power, 0.0)
-    cand_power, cand_idx = jax.lax.top_k(inband, cfg.n_candidates)
-    cand_valid = cand_power > 0
-    cand_period = jnp.where(
-        cand_valid, n / jnp.maximum(cand_idx.astype(jnp.float32), 1.0), 0.0
-    )
+    if cfg.n_candidates == 0:
+        # Reference-exact: every in-band bin, ascending index (`:3505-3516`).
+        idx = jnp.arange(k_min, min(k_max + 1, n // 2), dtype=jnp.int32)
+        cand_idx = jnp.broadcast_to(idx, (power.shape[0], idx.shape[0]))
+        cand_power = power[..., k_min : min(k_max + 1, n // 2)]
+        cand_valid = jnp.ones_like(cand_power, bool)
+        cand_period = n / cand_idx.astype(jnp.float32)
+    else:
+        mask = (jnp.arange(n // 2) >= k_min) & (jnp.arange(n // 2) <= k_max)
+        inband = jnp.where(mask, power, 0.0)
+        cand_power, cand_idx = jax.lax.top_k(inband, cfg.n_candidates)
+        cand_valid = cand_power > 0
+        cand_period = jnp.where(
+            cand_valid, n / jnp.maximum(cand_idx.astype(jnp.float32), 1.0), 0.0
+        )
 
     ph = fft_phase(spec)
     uw = unwrap_phase(ph)
@@ -119,11 +132,24 @@ def run_v757(
 
     # 3) per-slot biquad reconstruction over the frame-aligned price track
     # with the slot's CURRENT per-frame period (time-varying recursion,
-    # exactly like `CalculateCycle` being re-invoked each bar).
+    # exactly like `CalculateCycle` being re-invoked each bar). Boundary
+    # semantics follow the reference exactly: the first frames read the
+    # two REAL prices before the first analyzed bar (`CalculateCycle` runs
+    # over the global close array), and inactive-slot frames write 0 while
+    # y[i-1] passes through (`:3578-3588` else branch).
     newest = series[cfg.window - 1 :: hop][:t_frames]  # [T]
+    start = cfg.window - 1
+    prev = [
+        series[start - k * hop] if start - k * hop >= 0
+        else jnp.asarray(0.0, jnp.float32)
+        for k in (2, 1)
+    ]
+    price_prev = jnp.stack(prev)  # (x[-2], x[-1]) in frame steps
     periods_ts = jnp.swapaxes(slots["slot_period"], 0, 1)  # [S, T]
+    valid_ts = jnp.swapaxes(slots["slot_valid"], 0, 1)     # [S, T]
     cycle_vals = bandpass_cycle(
-        jnp.broadcast_to(newest, (n_slots, t_frames)), periods_ts, cfg.bandwidth
+        jnp.broadcast_to(newest, (n_slots, t_frames)), periods_ts,
+        cfg.bandwidth, valid=valid_ts, price_prev=price_prev, zero_first=0,
     )  # [S, T]
     cycle_vals = jnp.swapaxes(cycle_vals, 0, 1)  # [T, S]
     cycle_vals = jnp.where(slots["slot_valid"], cycle_vals, 0.0)
@@ -138,6 +164,7 @@ def run_v757(
         jnp.swapaxes(gd_at_slot, 0, 1),
         EtaConfig(mode=cfg.eta_mode, seconds_per_bar=cfg.seconds_per_bar,
                   fft_window=cfg.window),
+        valid=valid_ts,
     )
     color = jnp.swapaxes(eta["color"], 0, 1)         # [T, S]
     eta_raw = jnp.swapaxes(eta["eta_raw"], 0, 1)
