@@ -100,9 +100,11 @@ def main() -> None:
     )
 
     # Headline: FFT-ridge batch (BASELINE.json metric). LAST line.
+    # The fused Pallas band-DFT (kernels/fused_dft.py) carries the DFT on
+    # real devices; CPU falls back to the XLA four-step automatically.
     ridge_cfg = ExtractConfig(
         window=4096, top_k=8, min_period=18.0, max_period=200.0,
-        method=Method.FFT_RIDGE,
+        method=Method.FFT_RIDGE, use_pallas_dft=True,
     )
     ridge_wps = _measure(ridge_cfg, hop=16, n_windows=4096)
     print(

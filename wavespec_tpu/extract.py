@@ -131,6 +131,11 @@ class ExtractConfig:
     # cross-band ranking is by fitted power, so top_k total cycles still
     # emerge.
     music_signals_per_band: int = 2
+    # Route the ridge path's band DFT through the fused Pallas kernel
+    # (kernels.fused_dft — 1.98x the XLA four-step on the chip). Only
+    # takes effect on a non-CPU backend with window >= 1024; the XLA
+    # path remains the default and the CPU/tests path.
+    use_pallas_dft: bool = False
 
     def __post_init__(self):
         if self.window & (self.window - 1) or self.window < 16:
@@ -235,7 +240,12 @@ def _fft_ridge(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
     # band (+2 neighborhood bins) is computed — at the flagship band
     # [9, 200] that is 256 of 2048 bins, an 8x cut in row-DFT FLOPs.
     k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
-    spec = rfft_mxu(windows, max_bins=k_max + 3)
+    if cfg.use_pallas_dft and n >= 1024 and jax.default_backend() != "cpu":
+        from wavespec_tpu.kernels.fused_dft import rfft_band_fused_any
+
+        spec = rfft_band_fused_any(windows, max_bins=k_max + 3)
+    else:
+        spec = rfft_mxu(windows, max_bins=k_max + 3)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
     # Static band slice: the top-k/sum run over the ~200 in-band bins.

@@ -1,32 +1,39 @@
-"""Fused band-limited DFT Pallas kernel.
+"""Fused band-limited DFT Pallas kernel (round-2 variant).
 
 The hot path of `extract_cycles_batch` is the batched four-step DFT: in
-the pure-XLA formulation every stage intermediate (step-1 outputs, twiddle
-products) round-trips HBM (~500 MB per 4096-window batch), which measured
-~2.5 ms of the 3 ms total. This kernel keeps a TILE of windows and ALL
-DFT intermediates resident in VMEM and writes only the band-limited
-spectrum back to HBM.
+the pure-XLA formulation every stage intermediate round-trips HBM. This
+kernel keeps a TILE of windows and ALL DFT intermediates resident in VMEM
+and writes only the band-limited spectrum back to HBM.
 
-Mosaic layout constraints shape the design:
-- factorization n = n1 x 128 (n2 = 128 lanes) so every in-kernel reshape
-  either collapses onto or splits off a 128-wide minor dim (arbitrary
-  minor splits are "unsupported shape cast");
-- the (window, n1) transpose happens OUTSIDE the kernel (XLA transposes at
-  HBM bandwidth): input arrives as [n1, B, 128];
-- the twiddle stays [n1, 128] and broadcasts over the tile axis via a
-  minor-preserving reshape;
-- the kernel emits X in its natural [n1*TILE, n_k2] matmul layout; XLA
-  reorders to [B, bins] afterwards (tiny).
+ROUND-1 variant (n = n1 x 128, n2 = 128 lanes): correct on device
+(1.7e-7) but step 1 ran [n1, n1] @ [n1, tile*128] with M = n1 = 32 rows —
+25% MXU row utilization — and measured 3.2 ms vs the XLA path's 2.6 ms at
+the only VMEM-feasible tile. Parked with that analysis.
 
-Numerics: same factor-matrix construction as `mxu_fft`, dots at HIGHEST
-precision -> ~1e-7 relative error vs float64 FFT.
+ROUND-2 variant (this file): the factorization is TRANSPOSED — n = 128 x
+n2 with the SIZE-128 DFT first and the i1 axis on the lanes:
 
-STATUS (measured on the axon v5e): correct on device (1.7e-7), but at the
-only VMEM-feasible tile (32) it runs 3.2 ms per 4096-window batch vs the
-XLA formulation's 2.6 ms; larger tiles exceed scoped VMEM because HIGHEST
-matmuls keep bf16 operand copies. The XLA path (`mxu_fft.rfft_mxu` with
-`max_bins`) remains the production route; this kernel is kept as the
-VMEM-resident starting point for further fusion work.
+    t = i1*n2 + i2,  k = k1 + 128*k2   (i1, k1 in [0,128), i2, k2 in [0,n2))
+    X[k1,k2] = sum_i2 [ sum_i1 x[i1,i2] F128[k1,i1] ] U[k1,i2] F2[i2,k2]
+
+- step 1 is [tile*n2, 128] @ [128, 128] — FULL MXU rows and lanes, and it
+  carries ~95% of the FLOPs;
+- the twiddle U is an elementwise [n2, 128] broadcast over the tile;
+- step 2's contraction over i2 has tiny FLOPs (n_k2 <= 8 output columns);
+- every in-kernel reshape collapses onto / splits off the 128-lane minor
+  (Mosaic-legal), and the output block is [n_k2, tile, 128] — no
+  minor-dim padding.
+
+Numerics: same HIGHEST-precision dots as `mxu_fft` (~1e-7 vs float64).
+
+STATUS (measured on the axon v5e, 4096 windows x 4096 pts, max_bins=458,
+benchmarks/bench_fused_dft.py): tile=64 runs the band DFT in 0.55 ms vs
+1.09 ms for the XLA four-step — a 1.98x kernel win (7.45M windows/s);
+tile=32 gives 1.82x; tile=128 exceeds VMEM. Compile is seconds, not the
+25-minute pathology of the round-1 layout. `extract._fft_ridge` uses this
+kernel when `ExtractConfig(use_pallas_dft=True)` and the backend is a
+real device (CPU tests keep the XLA path; interpret mode is only for
+correctness tests). Device output agrees with `rfft_mxu` at ~1e-7.
 """
 
 from __future__ import annotations
@@ -40,109 +47,136 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HIGHEST = jax.lax.Precision.HIGHEST
-N2 = 128
+N1 = 128  # lane-resident DFT length (step 1)
 
 
 @lru_cache(maxsize=32)
-def _plan128(n: int, n_k2: int):
-    """Factor matrices for n = n1 x 128 with pre-tiled twiddles."""
-    if n % N2 or (n // N2) < 8:
-        raise ValueError(f"fused DFT needs n = n1*128 with n1 >= 8, got {n}")
-    n1 = n // N2
-    i1 = np.arange(n1)
-    f1 = np.exp(-2j * np.pi * np.outer(i1, i1) / n1)          # [n1, n1]
-    i2 = np.arange(N2)
+def _plan_t(n: int, n_k2: int):
+    """Constant matrices for the transposed factorization n = 128 x n2."""
+    if n % N1 or (n // N1) < 8:
+        raise ValueError(f"fused DFT needs n = 128*n2 with n2 >= 8, got {n}")
+    n2 = n // N1
+    i1 = np.arange(N1)
+    f1 = np.exp(-2j * np.pi * np.outer(i1, i1) / N1)       # [128, 128] (sym)
+    i2 = np.arange(n2)
+    u = np.exp(-2j * np.pi * np.outer(i2, i1) / n)         # [n2, 128] twiddle
     k2 = np.arange(n_k2)
-    f2 = np.exp(-2j * np.pi * np.outer(i2, k2) / N2)          # [128, n_k2]
-    tw = np.exp(-2j * np.pi * np.outer(i1, i2) / n)           # [n1, 128]
+    f2 = np.exp(-2j * np.pi * np.outer(k2, i2) / n2)       # [n_k2, n2]
     return (
         f1.real.astype(np.float32), f1.imag.astype(np.float32),
+        u.real.astype(np.float32), u.imag.astype(np.float32),
         f2.real.astype(np.float32), f2.imag.astype(np.float32),
-        tw.real.astype(np.float32), tw.imag.astype(np.float32),
     )
 
 
-def _kernel(at_ref, f1r_ref, f1i_ref, f2r_ref, f2i_ref, twr_ref, twi_ref,
-            out_re_ref, out_im_ref, *, n1: int, n_k2: int, tile: int):
-    # at_ref: [n1, tile, 128] (pre-transposed); collapse to [n1, tile*128]
-    a_t = at_ref[:].reshape(n1, tile * N2)
+def _kernel(xt_ref, f1r_ref, f1i_ref, ur_ref, ui_ref, f2r_ref, f2i_ref,
+            out_re_ref, out_im_ref, *, n2: int, n_k2: int, tile: int):
+    # xt_ref: [tile, n2, 128] with x[w, i2, i1] (i1 minor).
+    x = xt_ref[:].reshape(tile * n2, N1)
 
-    br = jnp.dot(f1r_ref[:], a_t, preferred_element_type=jnp.float32,
+    # step 1: P[w, i2, k1] = sum_i1 x[w, i2, i1] F128[k1, i1]
+    # (F128 symmetric, so right-multiplication needs no transpose)
+    pr = jnp.dot(x, f1r_ref[:], preferred_element_type=jnp.float32,
                  precision=HIGHEST)
-    bi = jnp.dot(f1i_ref[:], a_t, preferred_element_type=jnp.float32,
+    pi = jnp.dot(x, f1i_ref[:], preferred_element_type=jnp.float32,
                  precision=HIGHEST)
 
-    # twiddle T[k1, b] broadcast over the tile axis (keeps the constant at
-    # [n1, 128] instead of a [n1, tile*128] pre-tiled copy)
-    twr = twr_ref[:].reshape(n1, 1, N2)
-    twi = twi_ref[:].reshape(n1, 1, N2)
-    br3 = br.reshape(n1, tile, N2)
-    bi3 = bi.reshape(n1, tile, N2)
-    cr = (br3 * twr - bi3 * twi).reshape(n1, tile * N2)
-    ci = (br3 * twi + bi3 * twr).reshape(n1, tile * N2)
+    # step 2: twiddle U[i2, k1], broadcast over the tile axis
+    p3r = pr.reshape(tile, n2, N1)
+    p3i = pi.reshape(tile, n2, N1)
+    ur = ur_ref[:].reshape(1, n2, N1)
+    ui = ui_ref[:].reshape(1, n2, N1)
+    qr = p3r * ur - p3i * ui
+    qi = p3r * ui + p3i * ur
 
-    # contract over b=128: [(k1, w), 128] @ [128, n_k2]
-    cr2 = cr.reshape(n1 * tile, N2)
-    ci2 = ci.reshape(n1 * tile, N2)
-    xr = (jnp.dot(cr2, f2r_ref[:], preferred_element_type=jnp.float32, precision=HIGHEST)
-          - jnp.dot(ci2, f2i_ref[:], preferred_element_type=jnp.float32, precision=HIGHEST))
-    xi = (jnp.dot(cr2, f2i_ref[:], preferred_element_type=jnp.float32, precision=HIGHEST)
-          + jnp.dot(ci2, f2r_ref[:], preferred_element_type=jnp.float32, precision=HIGHEST))
+    # step 3: X[k2, w, k1] = sum_i2 F2[k2, i2] Q[w, i2, k1]
+    qtr = jnp.swapaxes(qr, 0, 1).reshape(n2, tile * N1)
+    qti = jnp.swapaxes(qi, 0, 1).reshape(n2, tile * N1)
+    xr = (jnp.dot(f2r_ref[:], qtr, preferred_element_type=jnp.float32, precision=HIGHEST)
+          - jnp.dot(f2i_ref[:], qti, preferred_element_type=jnp.float32, precision=HIGHEST))
+    xi = (jnp.dot(f2r_ref[:], qti, preferred_element_type=jnp.float32, precision=HIGHEST)
+          + jnp.dot(f2i_ref[:], qtr, preferred_element_type=jnp.float32, precision=HIGHEST))
 
-    out_re_ref[:] = xr.reshape(n1, tile, n_k2)
-    out_im_ref[:] = xi.reshape(n1, tile, n_k2)
+    out_re_ref[:] = xr.reshape(n_k2, tile, N1)
+    out_im_ref[:] = xi.reshape(n_k2, tile, N1)
 
 
 @partial(jax.jit, static_argnames=("max_bins", "tile", "interpret"))
 def rfft_band_fused(
     windows: jax.Array,
     max_bins: int,
-    tile: int = 128,
+    tile: int = 256,
     interpret: bool = False,
 ):
     """Band-limited rFFT of pre-framed windows ``[B, n]`` via one fused
-    Pallas kernel. Returns complex bins ``[B, ceil(max_bins/n1)*n1]``
-    where bin k = n1*k2 + k1 (same layout as `rfft_mxu(max_bins=...)`).
+    Pallas kernel. Returns complex bins ``[B, ceil(max_bins/128)*128]`` in
+    NATURAL bin order (bin k = k1 + 128*k2).
 
     B must be a multiple of `tile`; n a power of two >= 1024.
     """
     b, n = windows.shape
     if b % tile:
         raise ValueError(f"batch {b} not divisible by tile {tile}")
-    n1 = n // N2
-    n_k2 = min((max_bins + n1 - 1) // n1, N2 // 2)
-    f1r, f1i, f2r, f2i, twr, twi = _plan128(n, n_k2)
-    out_bins = n1 * n_k2
+    n2 = n // N1
+    n_k2 = min((max_bins + N1 - 1) // N1, n2 // 2)
+    f1r, f1i, ur, ui, f2r, f2i = _plan_t(n, n_k2)
 
-    # pre-transpose in XLA: [B, n] -> [B, n1, 128] -> [n1, B, 128]
-    at = jnp.swapaxes(windows.astype(jnp.float32).reshape(b, n1, N2), 0, 1)
+    # x[w, t] with t = i1*n2 + i2  ->  [w, i2, i1] (i1 minor): one XLA
+    # transpose at HBM bandwidth outside the kernel.
+    xt = jnp.swapaxes(
+        windows.astype(jnp.float32).reshape(b, N1, n2), -1, -2
+    )  # [B, n2, 128]
 
     grid = (b // tile,)
-    in_spec = pl.BlockSpec((n1, tile, N2), lambda i: (0, i, 0),
+    in_spec = pl.BlockSpec((tile, n2, N1), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     const2 = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((n1, tile, n_k2), lambda i: (0, i, 0),
+    out_spec = pl.BlockSpec((n_k2, tile, N1), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = partial(_kernel, n1=n1, n_k2=n_k2, tile=tile)
+    kernel = partial(_kernel, n2=n2, n_k2=n_k2, tile=tile)
     out_shape = [
-        jax.ShapeDtypeStruct((n1, b, n_k2), jnp.float32),
-        jax.ShapeDtypeStruct((n1, b, n_k2), jnp.float32),
+        jax.ShapeDtypeStruct((n_k2, b, N1), jnp.float32),
+        jax.ShapeDtypeStruct((n_k2, b, N1), jnp.float32),
     ]
     re, im = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in_spec, const2(n1, n1), const2(n1, n1),
-                  const2(N2, n_k2), const2(N2, n_k2),
-                  const2(n1, N2), const2(n1, N2)],
+        in_specs=[in_spec, const2(N1, N1), const2(N1, N1),
+                  const2(n2, N1), const2(n2, N1),
+                  const2(n_k2, n2), const2(n_k2, n2)],
         out_specs=[out_spec, out_spec],
         out_shape=out_shape,
         interpret=interpret,
-    )(at, jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(f2r),
-      jnp.asarray(f2i), jnp.asarray(twr), jnp.asarray(twi))
+    )(xt, jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(ur),
+      jnp.asarray(ui), jnp.asarray(f2r), jnp.asarray(f2i))
 
-    # [n1(k1), B, n_k2(k2)] -> [B, k2, k1] -> [B, n1*k2 + k1]
-    re_b = jnp.transpose(re, (1, 2, 0)).reshape(b, out_bins)
-    im_b = jnp.transpose(im, (1, 2, 0)).reshape(b, out_bins)
+    # [k2, B, k1] -> [B, k2, k1] -> [B, k2*128 + k1] = natural bin order
+    re_b = jnp.transpose(re, (1, 0, 2)).reshape(b, n_k2 * N1)
+    im_b = jnp.transpose(im, (1, 0, 2)).reshape(b, n_k2 * N1)
     return jax.lax.complex(re_b, im_b)
+
+
+def rfft_band_fused_any(
+    windows: jax.Array,
+    max_bins: int,
+    tile: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """`rfft_band_fused` for arbitrary leading dims / batch sizes.
+
+    Flattens leading dims, zero-pads the batch to a tile multiple (padded
+    rows are discarded), and trims the bin axis to `max_bins` so the
+    result is a drop-in for `rfft_mxu(x, max_bins=max_bins)[..., :max_bins]`.
+    """
+    n = windows.shape[-1]
+    lead = windows.shape[:-1]
+    x = windows.reshape(-1, n)
+    b = x.shape[0]
+    b_pad = -(-b // tile) * tile
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0)))
+    spec = rfft_band_fused(x, max_bins=max_bins, tile=tile,
+                           interpret=interpret)
+    return spec[:b, :max_bins].reshape(*lead, max_bins)
