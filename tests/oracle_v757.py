@@ -84,6 +84,112 @@ def _count_bars_in_phase(bar_idx, color_buf):
     return count
 
 
+def _unwrap_phase(phase):
+    """`UnwrapPhase` (`1.0.2.mq5:996-1021`)."""
+    n = len(phase)
+    uw = np.empty(n)
+    uw[0] = phase[0]
+    for i in range(1, n):
+        diff = phase[i] - phase[i - 1]
+        corr = 0.0
+        if diff > math.pi:
+            corr = -2.0 * math.pi
+        elif diff < -math.pi:
+            corr = 2.0 * math.pi
+        uw[i] = uw[i - 1] + diff + corr
+    return uw
+
+
+def _group_delay_index(uw):
+    """`CalculateGroupDelay` (`1.0.2.mq5:1027-1059`): index-space gradient,
+    deliberately NOT divided by domega; clamped +/-100."""
+    n = len(uw)
+    gd = np.empty(n)
+    gd[0] = -(uw[1] - uw[0])
+    for i in range(1, n - 1):
+        gd[i] = -(uw[i + 1] - uw[i - 1]) / 2.0
+    gd[n - 1] = -(uw[n - 1] - uw[n - 2])
+    return np.clip(gd, -100.0, 100.0)
+
+
+def _eta_realfft(uw, fft_index, period_bars, n, spb):
+    """`ComputeETA_RealFFT` (`:1366-1406`): delta_omega uses the ARRAY
+    length (N/2), and only the 1.5x-period clamp applies."""
+    if period_bars <= 0.0 or n <= 0 or spb <= 0.0:
+        return 0.0
+    if fft_index < 0:
+        return 0.0
+    max_n = min(n, len(uw))
+    if fft_index >= max_n:
+        return 0.0
+    delta_omega = 2.0 * math.pi / max_n
+    if fft_index > 0 and fft_index < max_n - 1:
+        dphi = (uw[fft_index + 1] - uw[fft_index - 1]) / 2.0
+    elif fft_index == 0 and max_n >= 2:
+        dphi = uw[1] - uw[0]
+    elif fft_index == max_n - 1 and max_n >= 2:
+        dphi = uw[max_n - 1] - uw[max_n - 2]
+    else:
+        dphi = 0.0
+    tau_g = -(dphi / delta_omega)
+    max_eta_bars = period_bars * 1.5
+    tau_g = max(-max_eta_bars, min(max_eta_bars, tau_g))
+    eta = abs(tau_g) * spb
+    max_eta_seconds = period_bars * spb * 1.5
+    return min(eta, max_eta_seconds)
+
+
+def _eta_scientific(gd_idx, fft_index, phase_len_sec, progress, spb):
+    """`CalculateScientificETASeconds` (`:1293-1323`)."""
+    if phase_len_sec <= 0.0 or spb <= 0.0:
+        return 0.0
+    if fft_index < 0 or fft_index >= len(gd_idx):
+        return 0.0
+    progress = max(0.0, min(1.0, progress))
+    eta_base = (1.0 - progress) * phase_len_sec
+    gd_sec = gd_idx[fft_index] * spb
+    max_adj = phase_len_sec * 0.25
+    gd_sec = max(-max_adj, min(max_adj, gd_sec))
+    eta = eta_base + gd_sec * 0.25
+    if eta < 0.0:
+        eta = 0.0
+    upper = phase_len_sec * 1.5
+    return min(eta, upper)
+
+
+def _median_phase_duration(st, c, is_bullish):
+    """`GetMedianPhaseDuration` (`:2947-2971`)."""
+    hist = st.bull[c] if is_bullish else st.bear[c]
+    vals = sorted(v for v in hist if v > 0)
+    if not vals:
+        return 0
+    return vals[len(vals) // 2]
+
+
+def _estimate_phase_duration(st, c, is_bullish, period, bars_completed):
+    """`EstimatePhaseDuration` (`:2973-3011`)."""
+    est = st.estimate[c][0 if is_bullish else 1]
+    if est <= 0.0:
+        m = _median_phase_duration(st, c, is_bullish)
+        if m > 0:
+            est = float(m)
+    if est <= 0.0:
+        m = _median_phase_duration(st, c, not is_bullish)
+        if m > 0:
+            est = float(m)
+    if est <= 0.0 and period > 0.0:
+        est = period
+    if est <= 0.0:
+        est = max(1.0, float(bars_completed))
+    if period > 0.0 and est > period * 2.0:
+        est = period * 2.0
+    if est < float(bars_completed):
+        est = float(bars_completed)
+    if est < 1.0:
+        est = 1.0
+    return est
+
+
 def _eta_phase_next_extremum(i, buf, period_bars, spb):
     """`ComputeETA_PhaseNextExtremum` (`:1330-1358`)."""
     if period_bars <= 0.0 or spb <= 0.0:
@@ -144,6 +250,7 @@ def run_oracle(
     leak_min_bars=2,
     leak_max_bars=8,
     seconds_per_bar=60.0,
+    eta_mode="phase",  # "phase" | "realfft" | "hybrid" (InpETAMode)
 ):
     """Per-bar outputs [n_bars, 12]: period, color, eta (display), eta_raw,
     states, active. Bars before the first full window stay zero."""
@@ -190,6 +297,12 @@ def run_oracle(
 
         spec_c = np.fft.rfft(det)
         spectrum = (spec_c.real**2 + spec_c.imag**2)[: w // 2]
+        if eta_mode in ("realfft", "hybrid"):
+            phase = np.arctan2(spec_c.imag, spec_c.real)[: w // 2]
+            uw = _unwrap_phase(phase)
+            gd_idx = _group_delay_index(uw)
+        else:
+            uw = gd_idx = None
 
         # --- all-bin candidate scan -> sequential tracker matching ---
         min_index = int(math.ceil(w / max_period))
@@ -324,7 +437,8 @@ def run_oracle(
                                  dominant_periods[s], bandwidth)
                 _update_cycle_eta_and_state(
                     i, s, cycle_buf[s], color_buf[s], dominant_periods[s],
-                    spb, eta_st, out,
+                    spb, eta_st, out, eta_mode=eta_mode, uw=uw,
+                    gd_idx=gd_idx, fft_index=dominant_indices[s], window=w,
                 )
                 out["period"][i, s] = dominant_periods[s]
             else:
@@ -347,8 +461,9 @@ def run_oracle(
 
 
 def _update_cycle_eta_and_state(i, c, cyc, col, period_bars, spb,
-                                st: _EtaState, out):
-    """`UpdateCycleEtaAndState` (`:3038-3154`), ETA_PHASE_NEXT_EXTREMUM."""
+                                st: _EtaState, out, *, eta_mode="phase",
+                                uw=None, gd_idx=None, fft_index=0, window=0):
+    """`UpdateCycleEtaAndState` (`:3038-3154`), all three ETA modes."""
     if spb <= 0.0:
         spb = 60.0
     if i < 1:
@@ -370,7 +485,56 @@ def _update_cycle_eta_and_state(i, c, cyc, col, period_bars, spb,
         st.last_eta_seconds[c] = 0.0
         return
 
-    eta_seconds = _eta_phase_next_extremum(i, cyc, period_bars, spb)
+    bars_in_phase = _count_bars_in_phase(i, col)
+    if eta_mode == "phase":
+        eta_seconds = _eta_phase_next_extremum(i, cyc, period_bars, spb)
+    elif eta_mode == "realfft":
+        eta_seconds = _eta_realfft(uw, fft_index, period_bars, window, spb)
+    else:  # hybrid blend (`:3080-3130`)
+        is_b = col[i] > 0.5
+        target_bars = _estimate_phase_duration(st, c, is_b, period_bars,
+                                               bars_in_phase)
+        if target_bars < 1.0:
+            target_bars = 1.0
+        if target_bars < float(bars_in_phase):
+            target_bars = float(bars_in_phase)
+        target_sec = target_bars * spb
+        elapsed_sec = float(bars_in_phase) * spb
+        progress = min(1.0, elapsed_sec / target_sec) if target_sec > 0 else 0.0
+        eta_sci = 0.0
+        if 0 < fft_index < len(gd_idx):
+            eta_sci = _eta_scientific(gd_idx, fft_index, target_sec,
+                                      progress, spb)
+        est_dur = _median_phase_duration(st, c, is_b)
+        eta_struct = max(0.0, target_sec - elapsed_sec)
+        eta_hist = -1.0
+        if est_dur > 0:
+            eta_hist = max(0.0, float(est_dur) * spb - elapsed_sec)
+        eta_seconds = 0.0
+        wsum = 0.0
+        if target_sec > 0.0:
+            eta_seconds += eta_struct * 0.5
+            wsum += 0.5
+        if eta_hist >= 0.0:
+            eta_seconds += eta_hist * 0.35
+            wsum += 0.35
+        if eta_sci > 0.0:
+            eta_seconds += eta_sci * 0.15
+            wsum += 0.15
+        eta_seconds = eta_seconds / wsum if wsum > 0.0 else eta_struct
+        if eta_seconds < 0.0:
+            eta_seconds = 0.0
+        max_ref = target_sec
+        est_dur_sec = float(est_dur) * spb
+        if est_dur > 0 and est_dur_sec > max_ref:
+            max_ref = est_dur_sec
+        period_sec = period_bars * spb
+        if period_sec > max_ref:
+            max_ref = period_sec
+        if max_ref <= 0.0:
+            max_ref = spb
+        if eta_seconds > max_ref * 1.5:
+            eta_seconds = max_ref * 1.5
 
     color_changed = col[i] != prev_color
     prev_eta_seconds = st.last_eta_seconds[c]

@@ -88,3 +88,52 @@ def test_etas_match(both):
     np.testing.assert_allclose(
         ours["eta_display"], oracle["eta"], atol=5e-3 * scale
     )
+
+
+def _run_mode(eta_mode_oracle, eta_mode_ours):
+    from wavespec_tpu.analyze.eta import EtaMode
+
+    series = _price_series()
+    oracle = run_oracle(
+        series, window=WINDOW, min_period=18.0, max_period=52.0,
+        trend_period=1024, window_type="blackman", bandwidth=0.5,
+        seconds_per_bar=60.0, eta_mode=eta_mode_oracle,
+    )
+    cfg = V757Config(
+        window=WINDOW, min_period=18.0, max_period=52.0, trend_period=1024,
+        taper=WindowType.BLACKMAN, detrend=DetrendMode.EHLERS,
+        n_candidates=0,
+        tracker=TrackerConfig(capacity=64, sequential_match=True),
+        seconds_per_bar=60.0, enable_kalman=False,
+        eta_mode={"realfft": EtaMode.REALFFT,
+                  "hybrid": EtaMode.HYBRID}[eta_mode_oracle],
+    )
+    ours = run_v757(series.astype(np.float32), cfg, hop=1)
+    sl = slice(WINDOW - 1, None)
+    return {k: v[sl] for k, v in oracle.items()}, ours
+
+
+def test_hybrid_mode_matches_oracle():
+    """The full hybrid ETA path — phase-duration learning, median history,
+    scientific group-delay blend 0.5/0.35/0.15, countdown — against the
+    transcription (`:3080-3130`)."""
+    oracle, ours = _run_mode("hybrid", "hybrid")
+    np.testing.assert_array_equal(ours["states"], oracle["states"])
+    scale = max(1.0, np.abs(oracle["eta_raw"]).max())
+    np.testing.assert_allclose(
+        ours["eta_raw"], oracle["eta_raw"], atol=5e-3 * scale
+    )
+    np.testing.assert_allclose(
+        ours["eta_display"], oracle["eta"], atol=5e-3 * scale
+    )
+
+
+def test_realfft_mode_matches_oracle():
+    """Group-delay ETA mode, including the reference's delta_omega =
+    2*pi/(N/2) convention (`:1387`)."""
+    oracle, ours = _run_mode("realfft", "realfft")
+    np.testing.assert_array_equal(ours["states"], oracle["states"])
+    scale = max(1.0, np.abs(oracle["eta_raw"]).max())
+    np.testing.assert_allclose(
+        ours["eta_raw"], oracle["eta_raw"], atol=5e-3 * scale
+    )

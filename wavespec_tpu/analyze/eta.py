@@ -44,6 +44,14 @@ class EtaConfig:
     seconds_per_bar: float = 60.0
     lag_buffer: int = 64   # ring capacity for the quarter-period lag
     fft_window: int = 4096
+    # Reference-exact startup: the reference's first analyzed bar sits at
+    # chart index window-1 with `prior_bars` unwritten (color 0.0) bars
+    # behind it — `CountBarsInCurrentPhase` counts into that region, the
+    # first bar's color change vs the implicit 0.0 stores a phase-history
+    # entry, and the first bar's ETA is COMPUTED (the `i < 1` early-out
+    # never fires at real window sizes). 0 = standalone-machine semantics
+    # (frame 0 is the beginning of time).
+    prior_bars: int = 0
 
 
 def eta_phase_next_extremum(value_now, value_lagged, period_bars, seconds_per_bar):
@@ -160,13 +168,21 @@ def eta_state_machine(
             start_bullish = v >= 0.0
             is_bullish = jnp.where(is_first, start_bullish, v >= v_prev)
             color = jnp.where(ok & is_bullish, 1.0, 0.0)
-            color_changed = (~is_first) & (color != color_prev) & ok
-
-            # CountBarsInCurrentPhase: incremental (current bar inclusive),
-            # over the WRITTEN color stream (inactive bars write 0).
-            bars_now = jnp.where(
-                is_first | (color != color_prev), 1, bars_in_phase + 1
-            )
+            if cfg.prior_bars > 0:
+                # exact mode: frame 0 compares against the implicit 0.0
+                # color of the unwritten pre-window region
+                color_changed = (color != color_prev) & ok
+                bars_now = jnp.where(
+                    color != color_prev, 1, bars_in_phase + 1
+                )
+            else:
+                color_changed = (~is_first) & (color != color_prev) & ok
+                # CountBarsInCurrentPhase: incremental (current bar
+                # inclusive), over the WRITTEN color stream (inactive
+                # bars write 0).
+                bars_now = jnp.where(
+                    is_first | (color != color_prev), 1, bars_in_phase + 1
+                )
 
             # quarter-period lag from the ring buffer. MathRound is
             # half-AWAY-FROM-ZERO (floor(x+0.5) for x>0), not banker's
@@ -249,7 +265,10 @@ def eta_state_machine(
                 eta_sec,
             )
             eta_sec = jnp.where(period > 0, eta_sec, 0.0)
-            eta_sec = jnp.where(is_first, 0.0, eta_sec)  # `:3049-3056`
+            if cfg.prior_bars == 0:
+                # standalone semantics: frame 0 is bar 0 (`:3049-3056`);
+                # in exact mode the first analyzed bar computes normally.
+                eta_sec = jnp.where(is_first, 0.0, eta_sec)
             eta_sec = jnp.where(ok, eta_sec, 0.0)  # inactive slot -> 0
 
             eta_bars = eta_sec / spb
@@ -271,7 +290,7 @@ def eta_state_machine(
         is_first = jnp.arange(t_len) == 0
         init = (
             jnp.asarray(0.0, jnp.float32),
-            jnp.asarray(0, jnp.int32),
+            jnp.asarray(cfg.prior_bars, jnp.int32),
             jnp.asarray(0.0, jnp.float32),
             jnp.zeros(5, jnp.int32),
             jnp.zeros(5, jnp.int32),

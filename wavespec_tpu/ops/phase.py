@@ -50,6 +50,17 @@ def group_delay(unwrapped: jax.Array, n: int) -> jax.Array:
     return jnp.clip(gd, -GROUP_DELAY_CLAMP, GROUP_DELAY_CLAMP)
 
 
+def group_delay_index(unwrapped: jax.Array) -> jax.Array:
+    """The reference's `fft_group_delay` EXACTLY (`1.0.2.mq5:1027-1059`):
+    ``-dphi/dk`` per FFT-bin step — deliberately NOT divided by domega
+    ("gradiente diretamente em termos de INDICE FFT") — clamped +/-100.
+    This is the array `CalculateScientificETASeconds` indexes; the
+    physically-scaled `group_delay` above is the general-purpose op.
+    """
+    dphi = jnp.gradient(unwrapped, axis=-1)
+    return jnp.clip(-dphi, -GROUP_DELAY_CLAMP, GROUP_DELAY_CLAMP)
+
+
 @jax.jit
 def phase_analysis(spec: jax.Array):
     """Convenience: (phase, unwrapped, group_delay) from complex bins."""

@@ -32,7 +32,7 @@ from wavespec_tpu.filters.biquad import bandpass_cycle
 from wavespec_tpu.filters.kalman4d import Kalman4DConfig, kalman4d_filter
 from wavespec_tpu.kernels.mxu_fft import rfft_mxu
 from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
-from wavespec_tpu.ops.phase import fft_phase, group_delay, unwrap_phase
+from wavespec_tpu.ops.phase import fft_phase, group_delay, group_delay_index, unwrap_phase
 from wavespec_tpu.ops.spectrum import band_indices
 from wavespec_tpu.ops.windows import WindowType, window_coefficients
 from wavespec_tpu.signals.followfirst import FollowFirstConfig, followfirst_signals
@@ -94,8 +94,21 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
 
     ph = fft_phase(spec)
     uw = unwrap_phase(ph)
-    gd = group_delay(uw, n)
-    return cand_period, cand_power, cand_idx, cand_valid, gd
+    # Two reference conventions (see ops.phase):
+    # - `fft_group_delay` (indexed by CalculateScientificETASeconds in
+    #   HYBRID mode) is the INDEX-space gradient clamped +/-100;
+    # - ComputeETA_RealFFT recomputes tau_g = -dphi/delta_omega with
+    #   delta_omega = 2*pi/(N/2) — the array LENGTH, not the FFT size —
+    #   and no +/-100 clamp (`...pla-kalman.mq5:1366-1406`).
+    gd_idx = group_delay_index(uw)
+    if cfg.eta_mode == EtaMode.REALFFT:
+        dphi = -jnp.gradient(uw, axis=-1)
+        gd = dphi / (2.0 * jnp.pi / (n // 2))
+    elif cfg.eta_mode == EtaMode.HYBRID:
+        gd = gd_idx
+    else:
+        gd = group_delay(uw, n)  # PHASE mode never reads it
+    return cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx
 
 
 def run_v757(
@@ -120,7 +133,7 @@ def run_v757(
     n_slots = cfg.tracker.n_slots
 
     # 1) batched spectral frames + candidates
-    cand_period, cand_power, cand_idx, cand_valid, gd = _spectral_frames(
+    cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx = _spectral_frames(
         series, cfg, hop
     )
     t_frames = cand_period.shape[0]
@@ -163,7 +176,8 @@ def run_v757(
         jnp.swapaxes(slots["slot_period"], 0, 1),
         jnp.swapaxes(gd_at_slot, 0, 1),
         EtaConfig(mode=cfg.eta_mode, seconds_per_bar=cfg.seconds_per_bar,
-                  fft_window=cfg.window),
+                  fft_window=cfg.window,
+                  prior_bars=(cfg.window - 1) // hop),
         valid=valid_ts,
     )
     color = jnp.swapaxes(eta["color"], 0, 1)         # [T, S]
@@ -180,8 +194,11 @@ def run_v757(
     )
 
     # leak ETA buffers (`PopulateLeakBuffers`, `:2290-2357`)
+    # leak buffers go through CalculateScientificETASeconds, which indexes
+    # the INDEX-convention fft_group_delay array (`:2290-2357`)
     leak_gd = jnp.take_along_axis(
-        gd, jnp.clip(slots["leak_fft_index"], 0, gd.shape[-1] - 1), axis=-1
+        gd_idx, jnp.clip(slots["leak_fft_index"], 0, gd_idx.shape[-1] - 1),
+        axis=-1
     )
     leak_eta = leak_eta_bars(
         slots["leak_active"], slots["leak_period"], slots["leak_bars"],
@@ -210,4 +227,33 @@ def run_v757(
         kf, _ = kalman4d_filter(newest, cfg.kalman)
         out["kalman"] = kf
 
-    return {k: np.asarray(v) for k, v in out.items()}
+    # ONE host transfer: the remote tunnel makes per-array device->host
+    # copies the wall-clock bottleneck (~15 small transfers cost more than
+    # the whole device computation). Pack everything into a single [T, F]
+    # f32 buffer and split host-side; integer/bool dtypes are restored
+    # exactly (uid < 2^24).
+    keys = list(out.keys())
+    cols = []
+    spans = {}
+    pos = 0
+    for k in keys:
+        v = out[k]
+        v2 = v[:, None] if v.ndim == 1 else v
+        spans[k] = (pos, pos + v2.shape[1], v.ndim)
+        pos += v2.shape[1]
+        cols.append(v2.astype(jnp.float32))
+    packed = np.asarray(jnp.concatenate(cols, axis=1))
+
+    restore = {"slot_valid": bool, "leak_active": bool, "slot_uid": np.int32}
+    result = {}
+    for k in keys:
+        lo, hi, ndim = spans[k]
+        arr = packed[:, lo:hi]
+        if ndim == 1:
+            arr = arr[:, 0]
+        if k in restore:
+            arr = (arr > 0.5) if restore[k] is bool else arr.astype(restore[k])
+        else:
+            arr = np.ascontiguousarray(arr)
+        result[k] = arr
+    return result
