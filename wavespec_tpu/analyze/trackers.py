@@ -262,39 +262,40 @@ def _slots_and_leaks(
     """Stable slot assignment + leakage detection + state assembly
     (shared by the vectorized and sequential matchers)."""
     c = cfg.capacity
-    # --- stable slot assignment ---
+    # --- stable slot assignment (fully vectorized: the per-slot Python
+    # loops of the first cut serialized ~100 tiny ops per frame inside the
+    # scan and were 91% of the v757 device budget) ---
     s = cfg.n_slots
+    imax = jnp.iinfo(jnp.int32).max
+    rows = jnp.arange(c)
     # a slot keeps its uid while that tracker is alive
     uid_alive = jnp.where(alive, uid, 0)
     slot_uid = state.slot_uid
-    slot_keep = jnp.zeros(s, bool)
-    slot_row = jnp.zeros(s, jnp.int32) - 1
-    for si in range(s):
-        hit = jnp.where((uid_alive == slot_uid[si]) & (slot_uid[si] > 0),
-                        jnp.arange(c), c)
-        row = jnp.min(hit)
-        found = row < c
-        slot_keep = slot_keep.at[si].set(found)
-        slot_row = slot_row.at[si].set(jnp.where(found, row, -1))
+    match = (slot_uid[:, None] > 0) & (uid_alive[None, :] == slot_uid[:, None])
+    hit_rows = jnp.where(match, rows[None, :], c)              # [S, C]
+    slot_row = jnp.min(hit_rows, axis=1)                       # [S]
+    slot_keep = slot_row < c
+    slot_row = jnp.where(slot_keep, slot_row, -1)
     slot_uid = jnp.where(slot_keep, slot_uid, 0)
+    used = jnp.any(match & slot_keep[:, None], axis=0)         # [C]
 
-    used = jnp.zeros(c, bool)
-    for si in range(s):
-        used = used | ((jnp.arange(c) == slot_row[si]) & slot_keep[si])
-    # fill free slots with strongest unused alive trackers, strongest
-    # first; power ties go to the OLDEST tracker (min uid) — the
+    # fill free slots (in slot order) with the strongest unused alive
+    # trackers; power ties go to the OLDEST tracker (min uid) — the
     # reference's bubble sort is stable over array order = creation order
-    # (`:1596-1609`).
-    imax = jnp.iinfo(jnp.int32).max
-    for si in range(s):
-        free = ~slot_keep[si]
-        score = jnp.where(alive & ~used, power, -1.0)
-        top = jnp.max(score)
-        best = jnp.argmin(jnp.where(score >= top, uid, imax))
-        ok = free & (top > 0)
-        slot_row = slot_row.at[si].set(jnp.where(ok, best, slot_row[si]))
-        slot_uid = slot_uid.at[si].set(jnp.where(ok, uid[best], slot_uid[si]))
-        used = used | (ok & (jnp.arange(c) == best))
+    # (`:1596-1609`). One lexicographic sort replaces the greedy loop.
+    fillable = alive & ~used & (power > 0)
+    neg_p = jnp.where(fillable, -power, jnp.inf)
+    uid_key = jnp.where(fillable, uid, imax)
+    _, _, ranked_rows = jax.lax.sort(
+        (neg_p, uid_key, rows.astype(jnp.int32)), num_keys=2
+    )
+    n_avail = jnp.sum(fillable.astype(jnp.int32))
+    free = ~slot_keep
+    fill_rank = jnp.cumsum(free.astype(jnp.int32)) - 1         # [S]
+    cand_row = ranked_rows[jnp.clip(fill_rank, 0, c - 1)]      # [S]
+    take_fill = free & (fill_rank < n_avail)
+    slot_row = jnp.where(take_fill, cand_row, slot_row)
+    slot_uid = jnp.where(take_fill, uid[cand_row], slot_uid)
 
     slot_valid = slot_uid > 0
     srow = jnp.clip(slot_row, 0, c - 1)
