@@ -205,3 +205,30 @@ def test_kalman_wave_blend_converges_to_signal():
     err = np.abs(blended[300:] - measured[300 : len(blended)])
     assert err.mean() < 0.2
     assert basis.shape == (len(blended), 4)
+
+
+def test_kalman_wave_detrend_level_is_level_robust():
+    """ROUND1 item 4: the reference regressor inflates weights to express a
+    price LEVEL through a near-zero oscillatory basis; detrend_level=True
+    regresses deviations and adds the mean back."""
+    from wavespec_tpu.filters import KalmanWaveConfig, kalman_wave
+
+    n = 1024
+    t = np.arange(n + 600)
+    wave = (2.0 * np.sin(2 * np.pi * t / 64)
+            + 1.0 * np.sin(2 * np.pi * t / 32 + 0.7))
+    series = (10_000.0 + wave).astype(np.float32)  # large level offset
+    cfg = KalmanWaveConfig(window=n, top_k=4, min_period=10.0,
+                           max_period=200.0, detrend_level=True)
+    blended, _, _ = kalman_wave(jnp.asarray(series), cfg, hop=1)
+    blended = np.asarray(blended)
+    measured = series[n - 1 :]
+    err = np.abs(blended[300:] - measured[300 : len(blended)])
+    assert err.mean() < 0.3  # tracks at the 10k level
+
+    # the faithful default degrades at this level (documents the quirk)
+    cfg_raw = KalmanWaveConfig(window=n, top_k=4, min_period=10.0,
+                               max_period=200.0)
+    blended_raw = np.asarray(kalman_wave(jnp.asarray(series), cfg_raw, hop=1)[0])
+    err_raw = np.abs(blended_raw[300:] - measured[300 : len(blended_raw)])
+    assert err_raw.mean() > err.mean()

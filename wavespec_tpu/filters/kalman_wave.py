@@ -49,6 +49,11 @@ class KalmanWaveConfig:
     max_period: float = 200.0
     apply_hann: bool = True   # InpApplyHann
     weights: KalmanWeightsConfig = KalmanWeightsConfig()
+    # Level-robust variant (see faithfulness note above): regress the
+    # DEVIATION of the close from the window mean instead of the raw
+    # close, and add the mean back to the blend. Off by default =
+    # reference-faithful level sensitivity.
+    detrend_level: bool = False
 
 
 @partial(jax.jit, static_argnames=("cfg", "hop"))
@@ -64,6 +69,12 @@ def kalman_wave(series: jax.Array, cfg: KalmanWaveConfig = KalmanWaveConfig(),
     x = series.astype(jnp.float32)
     windows = frame_series(x, n, hop)
     measured = windows[:, -1]
+
+    level = jnp.zeros_like(measured)
+    if cfg.detrend_level:
+        level = jnp.mean(windows, axis=-1)
+        windows = windows - level[:, None]
+        measured = measured - level
 
     w = windows
     if cfg.apply_hann:
@@ -90,4 +101,4 @@ def kalman_wave(series: jax.Array, cfg: KalmanWaveConfig = KalmanWaveConfig(),
     basis = (2.0 / n) * (re_k * jnp.cos(angle) - im_k * jnp.sin(angle))
 
     blended, w_final = kalman_weights_filter(basis, measured, cfg.weights)
-    return blended, w_final, basis
+    return blended + level, w_final, basis
