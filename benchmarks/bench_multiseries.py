@@ -30,8 +30,10 @@ def main() -> None:
     t = np.arange(slen)
     batch = np.sin(2 * np.pi * t[None, :] / periods[:, None]).astype(np.float32)
     x = jax.device_put(jnp.asarray(batch))
+    import sys as _sys
+    use_pallas = "--pallas" in _sys.argv
     cfg = ExtractConfig(window=window, top_k=4, min_period=9.0, max_period=200.0,
-                        method=Method.FFT_RIDGE)
+                        method=Method.FFT_RIDGE, use_pallas_dft=use_pallas)
 
     def run(s):
         return jax.vmap(lambda r: extract_cycles_batch(r, cfg, hop=hop))(s)
@@ -48,9 +50,11 @@ def main() -> None:
 
     float(np.asarray(chain(x, 1)))
     float(np.asarray(chain(x, 6)))
-    t0 = time.perf_counter(); float(np.asarray(chain(x, 1))); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(np.asarray(chain(x, 6))); t6 = time.perf_counter() - t0
-    per = (t6 - t1) / 5
+    per = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter(); float(np.asarray(chain(x, 1))); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(np.asarray(chain(x, 6))); t6 = time.perf_counter() - t0
+        per = min(per, (t6 - t1) / 5)
     n_windows = n_series * 32
     print(json.dumps({
         "metric": "multiseries_4096pt_windows_per_sec_per_chip",

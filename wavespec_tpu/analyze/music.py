@@ -271,6 +271,65 @@ def _topk_local_maxima(pseudo: jax.Array, freqs: jax.Array, k: int, excl: float,
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
+def _topk_local_maxima_bands(
+    pseudo: jax.Array,           # [..., G] merged grid
+    freqs: jax.Array,            # [G]
+    core: jax.Array,             # [G] bool
+    band_slices: tuple,          # static (start, stop) per band
+    k: int,
+    excl: float,
+):
+    """Per-band greedy peak picking with ALL BANDS BATCHED into one loop.
+
+    Running `_topk_local_maxima` per band costs R*k sequential
+    argmax/mask rounds in the latency chain; padding the bands to a
+    common length and stacking them on a new axis runs the same greedy
+    exclusion in k rounds total. Returns (vals [..., R*k],
+    gidx [..., R*k] into the MERGED grid).
+    """
+    g_max = max(s1 - s0 for s0, s1 in band_slices)
+    r = len(band_slices)
+    lead = pseudo.shape[:-1]
+
+    ps_b, fr_b, co_b, off = [], [], [], []
+    for (s0, s1) in band_slices:
+        pad = g_max - (s1 - s0)
+        # edge-mode pad keeps the "duplicated last neighbor" rule of the
+        # per-band picker: the last real point never counts as a strict
+        # peak against itself (a zero pad would fabricate band-edge peaks)
+        ps_b.append(jnp.pad(pseudo[..., s0:s1],
+                            [(0, 0)] * len(lead) + [(0, pad)], mode="edge"))
+        fr_b.append(jnp.pad(freqs[s0:s1], (0, pad), constant_values=-1.0))
+        co_b.append(jnp.pad(core[s0:s1], (0, pad), constant_values=False))
+        off.append(s0)
+    ps = jnp.stack(ps_b, axis=-2)          # [..., R, G]
+    fr = jnp.stack(fr_b, axis=0)           # [R, G]
+    co = jnp.stack(co_b, axis=0)           # [R, G]
+    offs = jnp.asarray(off, jnp.int32)     # [R]
+
+    left = jnp.concatenate([ps[..., :1], ps[..., :-1]], axis=-1)
+    right = jnp.concatenate([ps[..., 1:], ps[..., -1:]], axis=-1)
+    masked = jnp.where((ps >= left) & (ps > right) & co, ps, 0.0)
+
+    vals, idxs = [], []
+    for _ in range(k):
+        v = jnp.max(masked, axis=-1)                       # [..., R]
+        i = jnp.argmax(masked, axis=-1)                    # [..., R]
+        vals.append(v)
+        idxs.append(i)
+        f_pick = jnp.take_along_axis(
+            jnp.broadcast_to(fr, (*lead, r, g_max)), i[..., None], axis=-1
+        )
+        far = jnp.abs(fr - f_pick) > excl                  # [..., R, G]
+        masked = jnp.where(far, masked, 0.0)
+    vals = jnp.stack(vals, axis=-1)                        # [..., R, k]
+    gidx = jnp.stack(idxs, axis=-1).astype(jnp.int32) + offs[:, None]
+    return (
+        vals.reshape(*lead, r * k),
+        gidx.reshape(*lead, r * k),
+    )
+
+
 def _factored_trig(freq: jax.Array, n1: int, n2: int):
     """Split cos/sin tables: ``cos(2*pi*f*(u*n2+v)) = c1*c2 - s1*s2``.
 
@@ -441,19 +500,13 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     pseudo, freqs, eigvals, core, band_slices = music_pseudospectrum(windows, cfg)
 
     # Candidate stage: top-k local maxima PER SUB-BAND (exclusion radius =
-    # one FFT bin of frequency). Cross-band pseudospectrum magnitudes are
-    # not comparable (each band has its own noise projector), so the final
-    # ranking happens after the joint fit, by fitted power.
-    cand_vals, cand_gidx = [], []
-    for (s0, s1) in band_slices:
-        v_b, g_b = _topk_local_maxima(
-            pseudo[..., s0:s1], freqs[s0:s1], k, excl=1.0 / n,
-            candidate=core[s0:s1],
-        )
-        cand_vals.append(v_b)
-        cand_gidx.append(g_b + s0)
-    vals = jnp.concatenate(cand_vals, axis=-1)    # [..., C]
-    gidx = jnp.concatenate(cand_gidx, axis=-1)
+    # one FFT bin of frequency), all bands batched into one greedy loop.
+    # Cross-band pseudospectrum magnitudes are not comparable (each band
+    # has its own noise projector), so the final ranking happens after the
+    # joint fit, by fitted power.
+    vals, gidx = _topk_local_maxima_bands(
+        pseudo, freqs, core, band_slices, k, excl=1.0 / n
+    )                                             # [..., C]
     freq = freqs[gidx]                            # [..., C]
     valid = vals > 0
 
@@ -495,14 +548,20 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
 
     # Cheap pre-ranking: the refinement's own final periodogram power is
     # cross-band comparable; keep only the strongest 2k candidates for the
-    # (transcendental-heavy) joint fit.
+    # (transcendental-heavy) joint fit. All four per-candidate arrays are
+    # gathered in ONE take_along_axis (gathers serialize on TPU).
     keep = min(2 * k, c_count)
     pre_key = jnp.where(valid, pgram, -1.0)
     _, keep_idx = jax.lax.top_k(pre_key, keep)
-    take_c = lambda arr: jnp.take_along_axis(arr, keep_idx, axis=-1)
-    freq, valid = take_c(freq), take_c(valid.astype(jnp.int32)).astype(bool)
-    gidx = take_c(gidx)
-    vals = take_c(vals)
+    packed = jnp.stack(
+        [freq, valid.astype(jnp.float32), gidx.astype(jnp.float32), vals],
+        axis=-1,
+    )                                             # [..., C, 4]
+    taken = jnp.take_along_axis(packed, keep_idx[..., None], axis=-2)
+    freq = taken[..., 0]
+    valid = taken[..., 1] > 0.5
+    gidx = taken[..., 2].astype(jnp.int32)
+    vals = taken[..., 3]
 
     a, b, resid_energy = _sinusoid_fit(windows, freq, valid=valid.astype(jnp.float32))
     amp = jnp.sqrt(a * a + b * b)
@@ -541,12 +600,15 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
 
     # Coherence: pseudospectrum concentration at the peak (same +/-2
     # neighborhood definition as the FFT path, on the refined grid).
-    g_len = pseudo.shape[-1]
-    nb_sum = jnp.zeros_like(vals)
-    for off in range(-2, 3):
-        nb_sum = nb_sum + jnp.take_along_axis(
-            pseudo, jnp.clip(gidx + off, 0, g_len - 1), axis=-1
-        )
+    # The 5-point neighborhood sum is a shift-add over the WHOLE grid
+    # (one elementwise pass) followed by a SINGLE gather — five clipped
+    # take_along_axis calls serialize on TPU.
+    padp = jnp.pad(pseudo, [(0, 0)] * (pseudo.ndim - 1) + [(2, 2)],
+                   mode="edge")  # edge pad == the old index clip
+    nb_full = sum(
+        padp[..., off : off + pseudo.shape[-1]] for off in range(5)
+    )
+    nb_sum = jnp.take_along_axis(nb_full, gidx, axis=-1)
     coherence = vals / jnp.maximum(nb_sum, 1e-30)
 
     # Eigen ratio: mean signal eigenvalue / mean noise eigenvalue, best
@@ -558,14 +620,18 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     eigen_ratio = jnp.broadcast_to(ratio[..., None], amp.shape)
 
     # Final ranking: top_k candidates by fitted power (physical energy in
-    # the window — comparable across sub-bands).
+    # the window — comparable across sub-bands). One packed gather.
     rank_key = jnp.where(valid, power, -1.0)
     _, top_idx = jax.lax.top_k(rank_key, k)
-    take = lambda arr: jnp.take_along_axis(arr, top_idx, axis=-1)
-    freq, amp, phase_end = take(freq), take(amp), take(phase_end)
-    power, coherence = take(power), take(coherence)
-    valid = take(valid.astype(jnp.int32)).astype(bool)
-    eigen_ratio = take(eigen_ratio)
+    packed = jnp.stack(
+        [freq, amp, phase_end, power, coherence,
+         valid.astype(jnp.float32), eigen_ratio], axis=-1,
+    )                                             # [..., keep, 7]
+    taken = jnp.take_along_axis(packed, top_idx[..., None], axis=-2)
+    freq, amp, phase_end = taken[..., 0], taken[..., 1], taken[..., 2]
+    power, coherence = taken[..., 3], taken[..., 4]
+    valid = taken[..., 5] > 0.5
+    eigen_ratio = taken[..., 6]
 
     return _attrs_from_peaks(
         freq, amp, phase_end, power, valid, total_inband, noise_floor,

@@ -6,6 +6,9 @@ CLI is its equivalent plus a feed-cache inspector:
   extract  — read a FeedCache-format .bin (or .npy/.csv), run the batch
              extraction pipeline, write the cycle cache and optionally a
              per-bar CSV of decoded waves.
+  v757     — run the full v7.57 analytics pipeline (trackers, ETA, biquad
+             cycles, signals) and export the per-bar states CSV
+             (`ExportToCSV` parity).
   inspect  — print feed/cycle cache headers and stats.
   bench    — run the throughput benchmark (same as bench.py).
 """
@@ -86,6 +89,48 @@ def cmd_extract(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_v757(args: argparse.Namespace) -> int:
+    """Full v7.57 analytics over a series file + per-bar CSV export
+    (the reference's `ExportToCSV` use case, `...pla-kalman.mq5:2555-2618`)."""
+    from wavespec_tpu.analyze.eta import EtaMode
+    from wavespec_tpu.pipeline.v757 import V757Config, run_v757
+    from wavespec_tpu.presentation.export import CsvExporter
+
+    series = _load_series(Path(args.input))
+    if args.max_bars and len(series) > args.max_bars:
+        series = series[-args.max_bars :]
+    cfg = V757Config(
+        window=args.window,
+        min_period=args.min_period,
+        max_period=args.max_period,
+        trend_period=args.trend_period,
+        eta_mode=EtaMode[args.eta_mode.upper()],
+        seconds_per_bar=args.seconds_per_bar,
+    )
+    out = run_v757(series, cfg, hop=args.hop)
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if args.csv:
+        exporter = CsvExporter(filename=out_dir / args.csv,
+                               update_bars=args.csv_update_bars)
+        first_bar = args.window - 1
+        for f in range(out["states"].shape[0]):
+            exporter.export_bar(
+                str(first_bar + f * args.hop), first_bar + f * args.hop,
+                out["states"][f], out["slot_period"][f],
+                out["eta_raw"][f], out["leak_eta"][f],
+            )
+    active = out["slot_valid"].any(axis=1)
+    print(json.dumps({
+        "bars": len(series),
+        "frames": int(out["slot_period"].shape[0]),
+        "frames_with_cycles": int(active.sum()),
+        "signals": int((out["sig"] != 0).sum()),
+        "out_dir": str(out_dir),
+    }))
+    return 0
+
+
 def cmd_inspect(args: argparse.Namespace) -> int:
     path = Path(args.input)
     raw = path.read_bytes()
@@ -142,6 +187,24 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--max-bars", type=int, default=500_000)
     ex.add_argument("--csv", default="", help="also write per-bar CSV")
     ex.set_defaults(fn=cmd_extract)
+
+    v7 = sub.add_parser(
+        "v757", help="run the full v7.57 analytics pipeline + CSV export"
+    )
+    v7.add_argument("input", help=".bin (FeedCache), .npy, or .csv series")
+    v7.add_argument("--out-dir", default=".")
+    v7.add_argument("--window", type=int, default=4096)
+    v7.add_argument("--hop", type=int, default=1)
+    v7.add_argument("--min-period", type=float, default=18.0)
+    v7.add_argument("--max-period", type=float, default=52.0)
+    v7.add_argument("--trend-period", type=int, default=1024)
+    v7.add_argument("--eta-mode", default="phase_next_extremum",
+                    choices=["phase_next_extremum", "realfft", "hybrid"])
+    v7.add_argument("--seconds-per-bar", type=float, default=60.0)
+    v7.add_argument("--max-bars", type=int, default=500_000)
+    v7.add_argument("--csv", default="", help="per-bar states CSV filename")
+    v7.add_argument("--csv-update-bars", type=int, default=1)
+    v7.set_defaults(fn=cmd_v757)
 
     ins = sub.add_parser("inspect", help="print cache file header/stats")
     ins.add_argument("input")

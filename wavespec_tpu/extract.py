@@ -134,7 +134,9 @@ class ExtractConfig:
     # Route the ridge path's band DFT through the fused Pallas kernel
     # (kernels.fused_dft — 1.98x the XLA four-step on the chip). Only
     # takes effect on a non-CPU backend with window >= 1024; the XLA
-    # path remains the default and the CPU/tests path.
+    # path remains the default and the CPU/tests path. NOTE: leave this
+    # off under jax.vmap (multi-series batching) — a vmapped pallas_call
+    # batches poorly and measured 2x SLOWER than the XLA path there.
     use_pallas_dft: bool = False
 
     def __post_init__(self):
