@@ -366,21 +366,94 @@ def _trig_dot(xr: jax.Array, c1, s1, c2, s2):
     return cos_dot, sin_dot
 
 
-def _trig_synth(a: jax.Array, b: jax.Array, c1, s1, c2, s2, n: int):
-    """``sum_k a_k cos(w_k t) + b_k sin(w_k t)`` -> [..., n], factored.
-
-    h[u,v] = sum_k (a c1 + b s1)[k,u] c2[k,v] + (b c1 - a s1)[k,u] s2[k,v].
-    """
-    hp = jax.lax.Precision.HIGHEST
-    p = a[..., None] * c1 + b[..., None] * s1  # [..., K, n1]
-    q = b[..., None] * c1 - a[..., None] * s1
-    h = jnp.einsum("...ku,...kv->...uv", p, c2, precision=hp) + \
-        jnp.einsum("...ku,...kv->...uv", q, s2, precision=hp)
-    return h.reshape(*h.shape[:-2], n)
-
-
 def _split_n2(n: int) -> int:
     return min(64, n)
+
+
+def _dirichlet_cs(f: jax.Array, n: int):
+    """Closed-form trig sums ``C(f) = sum_t cos(2*pi*f*t)``,
+    ``S(f) = sum_t sin(2*pi*f*t)`` over t = 0..n-1.
+
+    Geometric series: sum_t e^{2*pi*i*f*t} = e^{i*pi*f*(n-1)} *
+    sin(pi*f*n) / sin(pi*f). Angles are folded mod 2 BEFORE the multiply
+    by pi (f*n is exact in f32 for power-of-two n, so the fold sheds the
+    integer turns losslessly — same argument-reduction trick as
+    `_factored_trig`). Near-integer f takes the limit C = n, S = 0.
+    """
+    fn = f * n
+    fn1 = fn - f  # f * (n - 1)
+    y1 = fn1 - 2.0 * jnp.round(0.5 * fn1)
+    y2 = fn - 2.0 * jnp.round(0.5 * fn)
+    den = jnp.sin(jnp.pi * f)
+    near_int = jnp.abs(f - jnp.round(f)) < 1e-6
+    ratio = jnp.sin(jnp.pi * y2) / jnp.where(near_int, 1.0, den)
+    c = jnp.where(near_int, float(n), jnp.cos(jnp.pi * y1) * ratio)
+    s = jnp.where(near_int, 0.0, jnp.sin(jnp.pi * y1) * ratio)
+    return c, s
+
+
+def _sinusoid_gram(freq: jax.Array, n: int, valid: jax.Array):
+    """Exact Gram matrix of the sinusoid basis, closed form — [..., 2K, 2K].
+
+    Basis columns are ``cos(w_j t), sin(w_j t)`` (coefficient order
+    [a_0..a_{K-1}, b_0..b_{K-1}]); every entry is a Dirichlet-kernel
+    combination of `_dirichlet_cs` at f_i - f_j and f_i + f_j, so the
+    whole matrix costs O(K^2) transcendentals per window and never
+    touches the data. Invalid columns are replaced by scaled identity
+    rows (diag n/2 keeps the system uniformly scaled).
+    """
+    fd = freq[..., :, None] - freq[..., None, :]
+    fs = freq[..., :, None] + freq[..., None, :]
+    cd, sd = _dirichlet_cs(fd, n)
+    cs_, ss = _dirichlet_cs(fs, n)
+    gcc = 0.5 * (cd + cs_)
+    gss = 0.5 * (cd - cs_)
+    gcs = 0.5 * (ss - sd)  # [i, j] = sum_t cos(w_i t) sin(w_j t)
+    gsc = 0.5 * (ss + sd)
+    g = jnp.concatenate(
+        [
+            jnp.concatenate([gcc, gcs], axis=-1),
+            jnp.concatenate([gsc, gss], axis=-1),
+        ],
+        axis=-2,
+    )  # [..., 2K, 2K]
+    v2 = jnp.concatenate([valid, valid], axis=-1)
+    mask = v2[..., :, None] * v2[..., None, :]
+    eye = jnp.eye(g.shape[-1], dtype=g.dtype)
+    return g * mask + eye * (1.0 - v2[..., :, None]) * (n / 2.0)
+
+
+def _cg_solve(gram: jax.Array, rhs: jax.Array, iters: int) -> jax.Array:
+    """Batched conjugate gradients on SPD ``gram @ x = rhs`` ([..., M, M]).
+
+    The system is tiny (M = 2K <= 16) and near-identity after the n/2
+    scaling (off-diagonal coupling <= ~0.64 even for peaks half a bin
+    apart), so a fixed, unrolled iteration count reaches f32 machine
+    precision; each step is one [..., M, M] @ [..., M] matvec —
+    elementwise-cheap, no LAPACK lowering on TPU.
+    """
+    hp = jax.lax.Precision.HIGHEST
+
+    def mv(x):
+        return jnp.einsum("...ij,...j->...i", gram, x, precision=hp)
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=-1, keepdims=True)
+
+    x = rhs
+    r = rhs - mv(x)
+    p = r
+    rr = dot(r, r)
+    for _ in range(iters):
+        ap = mv(p)
+        alpha = rr / jnp.maximum(dot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rr_new = dot(r, r)
+        beta = rr_new / jnp.maximum(rr, 1e-30)
+        p = r + beta * p
+        rr = rr_new
+    return x
 
 
 def _refine_freq(
@@ -423,53 +496,51 @@ def _refine_freq(
     return freq, p[..., 1]
 
 
-def _sinusoid_fit(windows: jax.Array, freq: jax.Array, refine: int = 2,
-                  valid: jax.Array | None = None):
-    """LS fit of k sinusoids: x[t] ~ sum_j a_j cos(w_j t) + b_j sin(w_j t).
+def _sinusoid_fit(windows: jax.Array, freq: jax.Array,
+                  valid: jax.Array | None = None, iters: int = 10):
+    """Exact LS fit of k sinusoids: x[t] ~ sum_j a_j cos(w_j t) + b_j sin(w_j t).
 
-    windows [..., n], freq [..., k] (cycles/bar). Matrix-free normal
-    equations: c0 = (2/n) H^T x, then `refine` residual passes
-    c <- c + (2/n) H^T (x - H c). Near-orthogonal columns (distinct
-    frequencies over n >> period) make this converge geometrically.
+    windows [..., n], freq [..., k] (cycles/bar), valid [..., k] float
+    mask (invalid picks all collapse to the same argmax-of-zeros
+    frequency and would make the Gram singular). Returns
+    (a [..., k], b [..., k], residual_energy [...]).
 
-    `valid` masks out columns for windows with fewer than k genuine peaks:
-    invalid picks all collapse to the same argmax-of-zeros frequency, and
-    duplicated columns make the refinement iteration DIVERGE (the update
-    has per-pass error multiplier (1 - m) for m duplicates), which would
-    pollute resid_energy — and hence snr/score — of the valid cycles.
+    ONE data pass: g = H^T x via the factored trig tables
+    (`_factored_trig` — the [..., k, n] basis never exists). The normal
+    matrix G = H^T H needs no data at all — every entry is a closed-form
+    Dirichlet sum (`_sinusoid_gram`) — and the 2K x 2K system is solved
+    exactly by batched CG (`_cg_solve`). This replaces the previous
+    matrix-free Richardson iteration, which cost 5 more passes over the
+    window data (each a badly-shaped [n1, n2] x [n2, k] batched matmul)
+    and only converged geometrically for close frequency pairs.
 
-    Returns (a [..., k], b [..., k], residual_energy [...]).
-
-    Trig factorization: the [..., k, n] cos/sin basis is never built;
-    both H^T v and H c go through the (n1, n2)-split tables
-    (`_factored_trig`), so the transcendental count per window drops from
-    2*k*n to 2*k*(n1+n2) and the basis never touches HBM.
+    Residual energy is closed-form too:
+    ||x - Hc||^2 = ||x||^2 - 2 c.g + c.(G c), clamped at 0 against f32
+    cancellation on near-noiseless windows.
     """
     n = windows.shape[-1]
     n2 = _split_n2(n)
+    k = freq.shape[-1]
+    if valid is None:
+        valid = jnp.ones_like(freq)
     xr = windows.reshape(*windows.shape[:-1], n // n2, n2)
     c1, s1, c2, s2 = _factored_trig(freq, n // n2, n2)  # [..., k, n1|n2]
-    if valid is not None:
-        # Zeroing the coarse tables zeroes both basis columns exactly.
-        c1 = c1 * valid[..., None]
-        s1 = s1 * valid[..., None]
+    # Zeroing the coarse tables zeroes both basis columns exactly.
+    c1 = c1 * valid[..., None]
+    s1 = s1 * valid[..., None]
 
-    def ht_x(vr):  # H^T v: v reshaped [..., n1, n2] -> [..., k] x2
-        return _trig_dot(vr, c1, s1, c2, s2)
-
-    def h_c(a, b):  # H c: [..., k] -> [..., n1, n2]
-        h = _trig_synth(a, b, c1, s1, c2, s2, n)
-        return h.reshape(*xr.shape)
-
+    gc, gs = _trig_dot(xr, c1, s1, c2, s2)
+    g_raw = jnp.concatenate([gc, gs], axis=-1)          # [..., 2k]
+    gram = _sinusoid_gram(freq, n, valid)               # [..., 2k, 2k]
     scale = 2.0 / n
-    a, b = ht_x(xr)
-    a, b = scale * a, scale * b
-    for _ in range(refine):
-        resid = xr - h_c(a, b)
-        da, db = ht_x(resid)
-        a, b = a + scale * da, b + scale * db
-    resid = xr - h_c(a, b)
-    return a, b, jnp.sum(resid * resid, axis=(-2, -1))
+    coef = _cg_solve(gram * scale, g_raw * scale, iters)
+    a, b = coef[..., :k], coef[..., k:]
+
+    xx = jnp.sum(windows * windows, axis=-1)
+    hp = jax.lax.Precision.HIGHEST
+    quad = jnp.einsum("...i,...ij,...j->...", coef, gram, coef, precision=hp)
+    resid = xx - 2.0 * jnp.sum(coef * g_raw, axis=-1) + quad
+    return a, b, jnp.maximum(resid, 0.0)
 
 
 def music_extract(windows: jax.Array, cfg) -> jax.Array:
