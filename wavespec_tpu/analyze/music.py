@@ -36,7 +36,12 @@ from wavespec_tpu.analyze.jacobi import jacobi_eigh
 from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
 from wavespec_tpu.ops.spectrum import band_indices
 
-__all__ = ["music_extract", "music_pseudospectrum"]
+__all__ = ["music_extract", "music_hp_period", "music_pseudospectrum"]
+
+
+def music_hp_period(cfg) -> int:
+    """Cutoff period of the MUSIC preconditioning high-pass (bars)."""
+    return min(int(2 * cfg.max_period), cfg.window // 2)
 
 
 def _autocov_toeplitz(windows: jax.Array, m: int) -> jax.Array:
@@ -456,6 +461,29 @@ def _cg_solve(gram: jax.Array, rhs: jax.Array, iters: int) -> jax.Array:
     return x
 
 
+def _periodogram_at(windows: jax.Array, freq: jax.Array) -> jax.Array:
+    """Exact periodogram |sum_t x[t] e^{-2*pi*i*f*t}|^2 at per-window
+    frequencies freq [..., k] — matrix-free via the factored trig tables."""
+    n = windows.shape[-1]
+    n2 = _split_n2(n)
+    xr = windows.reshape(*windows.shape[:-1], n // n2, n2)
+    c1, s1, c2, s2 = _factored_trig(freq, n // n2, n2)
+    c, s = _trig_dot(xr, c1, s1, c2, s2)
+    return c * c + s * s
+
+
+def _dedupe_mask(freq: jax.Array, valid: jax.Array, tol: float) -> jax.Array:
+    """Mask candidates closer than `tol` (cycles/bar) to an EARLIER valid
+    candidate (band-overlap duplicates / peaks that merged under
+    refinement; duplicated basis columns would make the fit Gram
+    singular). Returns the updated valid mask."""
+    c_count = freq.shape[-1]
+    df = jnp.abs(freq[..., :, None] - freq[..., None, :])
+    earlier = jnp.tril(jnp.ones((c_count, c_count), bool), k=-1)
+    dup = ((df < tol) & earlier & valid[..., None, :]).any(axis=-1)
+    return valid & ~dup
+
+
 def _refine_freq(
     windows: jax.Array, freq: jax.Array, step: float, iters: int = 2
 ) -> jax.Array:
@@ -543,7 +571,7 @@ def _sinusoid_fit(windows: jax.Array, freq: jax.Array,
     return a, b, jnp.maximum(resid, 0.0)
 
 
-def music_extract(windows: jax.Array, cfg) -> jax.Array:
+def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False) -> jax.Array:
     """MUSIC extraction over preconditioned windows ``[..., n]``.
 
     Returns ``[..., top_k, 15]`` stride-15 attrs with method_id=1.
@@ -551,6 +579,13 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     ``(A*n/2)^2`` (the exact-bin |X_k|^2 of that sinusoid), and the noise
     floor is the per-bin residual power (Parseval), so snr_db/energy_ratio
     are directly comparable with the FFT-ridge method's.
+
+    `pre_highpassed`: the caller already ran `ehlers_highpass_detrend` at
+    this config's `hp_period` over the UNFRAMED series (the rolling-STFT
+    batch path — one scan over the series instead of one per overlapping
+    window, and the filter is warm at every window start instead of
+    re-cold-starting). The frequency-domain gain compensation below still
+    applies either way.
     """
     from wavespec_tpu.extract import Method, _attrs_from_peaks  # circular-safe
 
@@ -564,8 +599,8 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     # covariance. High-pass above the analysis band before both the
     # covariance and the amplitude fit, then undo the filter's (exactly
     # known) complex gain at each fitted frequency.
-    hp_period = min(int(2 * cfg.max_period), n // 2)
-    if cfg.music_highpass:
+    hp_period = music_hp_period(cfg)
+    if cfg.music_highpass and not pre_highpassed:
         windows = ehlers_highpass_detrend(windows, hp_period)
 
     pseudo, freqs, eigvals, core, band_slices = music_pseudospectrum(windows, cfg)
@@ -606,23 +641,20 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     vals = jnp.concatenate([vals, jnp.take_along_axis(pseudo, ridge_gidx, axis=-1)], axis=-1)
     valid = jnp.concatenate([valid, rp > 0], axis=-1)
 
-    grid_step = 1.0 / (cfg.music_grid_per_bin * n)
-    freq, pgram = _refine_freq(windows, freq, step=grid_step)
-
-    # Dedupe candidates that refined onto the same frequency (band-overlap
-    # duplicates): keep the first of any pair closer than half a bin.
-    df = jnp.abs(freq[..., :, None] - freq[..., None, :])
+    # Cheap pre-ranking BEFORE the (trig-dot-heavy) parabolic refinement:
+    # one exact periodogram evaluation per candidate is cross-band
+    # comparable, so only the strongest 2k of the C = R*k + k candidates
+    # pay for the 3-point x 2-iteration refinement (a 2x cut in refine
+    # trig-dot passes at flagship defaults). Grid-level duplicates
+    # (band-overlap picks, ridge seeds landing on a subspace peak) are
+    # masked first so they don't crowd out genuine candidates. All four
+    # per-candidate arrays move through ONE take_along_axis (gathers
+    # serialize on TPU).
     c_count = freq.shape[-1]
-    earlier = jnp.tril(jnp.ones((c_count, c_count), bool), k=-1)
-    dup = ((df < 0.5 / n) & earlier & valid[..., None, :]).any(axis=-1)
-    valid = valid & ~dup
-
-    # Cheap pre-ranking: the refinement's own final periodogram power is
-    # cross-band comparable; keep only the strongest 2k candidates for the
-    # (transcendental-heavy) joint fit. All four per-candidate arrays are
-    # gathered in ONE take_along_axis (gathers serialize on TPU).
+    valid = _dedupe_mask(freq, valid, 0.5 / n)
+    pgram0 = _periodogram_at(windows, freq)
     keep = min(2 * k, c_count)
-    pre_key = jnp.where(valid, pgram, -1.0)
+    pre_key = jnp.where(valid, pgram0, -1.0)
     _, keep_idx = jax.lax.top_k(pre_key, keep)
     packed = jnp.stack(
         [freq, valid.astype(jnp.float32), gidx.astype(jnp.float32), vals],
@@ -633,6 +665,13 @@ def music_extract(windows: jax.Array, cfg) -> jax.Array:
     valid = taken[..., 1] > 0.5
     gidx = taken[..., 2].astype(jnp.int32)
     vals = taken[..., 3]
+
+    grid_step = 1.0 / (cfg.music_grid_per_bin * n)
+    freq, _ = _refine_freq(windows, freq, step=grid_step)
+
+    # Refinement can merge two distinct grid peaks onto one frequency;
+    # re-dedupe so the fit basis stays non-singular.
+    valid = _dedupe_mask(freq, valid, 0.5 / n)
 
     a, b, resid_energy = _sinusoid_fit(windows, freq, valid=valid.astype(jnp.float32))
     amp = jnp.sqrt(a * a + b * b)

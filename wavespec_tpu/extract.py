@@ -417,6 +417,26 @@ def extract_cycles_batch(
 
     Returns `[nwin, top_k, 15]`.
     """
+    if (
+        cfg.method == Method.MUSIC
+        and cfg.music_highpass
+        and cfg.detrend == DetrendMode.NONE
+        and cfg.taper == WindowType.NONE
+    ):
+        # Flagship fast path: the MUSIC preconditioning high-pass runs
+        # ONCE over the unframed series instead of once per overlapping
+        # window — one length-L scan replaces nwin length-n scans (a
+        # ~0.45 ms cut at the 512-window warmup scale), and every window
+        # starts with a warm filter state instead of a cold transient.
+        # Only valid when no per-window preconditioning (detrend/taper)
+        # would otherwise run between the filter and the window.
+        from wavespec_tpu.analyze.music import music_extract, music_hp_period
+
+        hp_series = ehlers_highpass_detrend(
+            series.astype(jnp.float32), music_hp_period(cfg)
+        )
+        windows = frame_series(hp_series, cfg.window, hop)
+        return music_extract(windows, cfg, pre_highpassed=True)
     windows = frame_series(series, cfg.window, hop)
     windows = _precondition(windows, cfg)
     return _extract_windows(windows, cfg)
