@@ -64,7 +64,7 @@ def _measure(cfg, hop: int, n_windows: int, k: int = 10) -> float:
 
     def timed(iters):
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             float(np.asarray(chain(x, iters)))
             best = min(best, time.perf_counter() - t0)

@@ -39,10 +39,19 @@ def main() -> None:
         return acc
 
     float(np.asarray(chain(x, 1)))
-    float(np.asarray(chain(x, 6)))
-    t0 = time.perf_counter(); float(np.asarray(chain(x, 1))); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); float(np.asarray(chain(x, 6))); t6 = time.perf_counter() - t0
-    per = (t6 - t1) / 5
+    float(np.asarray(chain(x, 16)))
+
+    # Best-of-4: the remote tunnel adds multi-ms jitter per readback, and a
+    # single (t_long - t_short) pair can even go NEGATIVE on a hiccup.
+    def timed(iters: int) -> float:
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            float(np.asarray(chain(x, iters)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = max((timed(16) - timed(1)) / 15, 1e-9)
     print(json.dumps({
         "metric": "music_4096pt_windows_per_sec_per_chip",
         "value": round(nwin / per, 1),
