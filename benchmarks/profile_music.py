@@ -1,9 +1,12 @@
 """Stage-cumulative MUSIC profiling on the real chip.
 
-Times truncated prefixes of the MUSIC pipeline (XLA dead-code-eliminates
-everything after the returned sums), so stage cost = delta between rows.
-Timing uses the jitted dependent-chain trick from bench.py (axon's
-block_until_ready returns at enqueue).
+Times truncated prefixes of the PRODUCTION flagship batch pipeline
+(extract_cycles_batch with method=MUSIC: series-level highpass -> frame
+-> pseudospectrum -> batched band peaks -> ridge seed -> pre-rank ->
+parabolic refine -> Gram fit), so stage cost = delta between rows. XLA
+dead-code-eliminates everything after the returned sums. Timing uses the
+jitted dependent-chain trick from bench.py (axon's block_until_ready
+returns at enqueue); each leg is best-of-3 against tunnel jitter.
 """
 
 import sys
@@ -33,29 +36,21 @@ def main() -> None:
         np.cumsum(0.02 * np.random.default_rng(0).standard_normal(slen))
         + 3 * np.sin(2 * np.pi * t / 50) + 2 * np.sin(2 * np.pi * t / 120),
         jnp.float32))
-    cfg = ExtractConfig(window=window, top_k=4, min_period=9.0,
+    cfg = ExtractConfig(window=4096, top_k=4, min_period=9.0,
                         max_period=200.0, method=Method.MUSIC, ar_order=10)
     n, k = cfg.window, cfg.top_k
 
     def stage(s, upto: str):
-        windows = frame_series(s, cfg.window, hop)
-        hp_period = min(int(2 * cfg.max_period), n // 2)
-        windows = ehlers_highpass_detrend(windows, hp_period)
-        if upto == "hp":
+        hp_series = ehlers_highpass_detrend(s, M.music_hp_period(cfg))
+        windows = frame_series(hp_series, cfg.window, hop)
+        if upto == "hp+frame":
             return jnp.sum(windows)
         pseudo, freqs, eigvals, core, band_slices = M.music_pseudospectrum(
             windows, cfg)
         if upto == "pseudo":
             return jnp.sum(pseudo) + jnp.sum(eigvals)
-        cand_vals, cand_gidx = [], []
-        for (s0, s1) in band_slices:
-            v_b, g_b = M._topk_local_maxima(
-                pseudo[..., s0:s1], freqs[s0:s1], k, excl=1.0 / n,
-                candidate=core[s0:s1])
-            cand_vals.append(v_b)
-            cand_gidx.append(g_b + s0)
-        vals = jnp.concatenate(cand_vals, axis=-1)
-        gidx = jnp.concatenate(cand_gidx, axis=-1)
+        vals, gidx = M._topk_local_maxima_bands(
+            pseudo, freqs, core, band_slices, k, excl=1.0 / n)
         freq = freqs[gidx]
         valid = vals > 0
         if upto == "peaks":
@@ -66,20 +61,34 @@ def main() -> None:
             ..., k_min_fb: k_max_fb + 1]
         rp, ridx = jax.lax.top_k(band_power, k)
         ridge_freq = (ridx + k_min_fb).astype(jnp.float32) / n
+        ridge_gidx = jnp.clip(
+            jnp.searchsorted(freqs, ridge_freq), 0, freqs.shape[0] - 1)
         freq = jnp.concatenate([freq, ridge_freq], axis=-1)
+        gidx = jnp.concatenate([gidx, ridge_gidx], axis=-1)
+        vals = jnp.concatenate(
+            [vals, jnp.take_along_axis(pseudo, ridge_gidx, axis=-1)], axis=-1)
         valid = jnp.concatenate([valid, rp > 0], axis=-1)
         if upto == "ridge":
             return jnp.sum(freq) + jnp.sum(rp)
-        grid_step = 1.0 / (cfg.music_grid_per_bin * n)
-        freq, pgram = M._refine_freq(windows, freq, step=grid_step)
-        if upto == "refine":
-            return jnp.sum(freq) + jnp.sum(pgram)
-        keep = min(2 * k, freq.shape[-1])
-        pre_key = jnp.where(valid, pgram, -1.0)
+        c_count = freq.shape[-1]
+        valid = M._dedupe_mask(freq, valid, 0.5 / n)
+        pgram0 = M._periodogram_at(windows, freq)
+        keep = min(2 * k, c_count)
+        pre_key = jnp.where(valid, pgram0, -1.0)
         _, keep_idx = jax.lax.top_k(pre_key, keep)
-        freq = jnp.take_along_axis(freq, keep_idx, axis=-1)
-        valid = jnp.take_along_axis(
-            valid.astype(jnp.int32), keep_idx, axis=-1).astype(bool)
+        packed = jnp.stack(
+            [freq, valid.astype(jnp.float32), gidx.astype(jnp.float32), vals],
+            axis=-1)
+        taken = jnp.take_along_axis(packed, keep_idx[..., None], axis=-2)
+        freq = taken[..., 0]
+        valid = taken[..., 1] > 0.5
+        if upto == "prerank":
+            return jnp.sum(freq) + jnp.sum(taken)
+        grid_step = 1.0 / (cfg.music_grid_per_bin * n)
+        freq, _ = M._refine_freq(windows, freq, step=grid_step)
+        valid = M._dedupe_mask(freq, valid, 0.5 / n)
+        if upto == "refine":
+            return jnp.sum(freq) + jnp.sum(valid)
         a, b, resid = M._sinusoid_fit(windows, freq,
                                       valid=valid.astype(jnp.float32))
         if upto == "fit":
@@ -98,16 +107,22 @@ def main() -> None:
 
         float(np.asarray(chain(x, 1)))
         float(np.asarray(chain(x, 6)))
-        t0 = time.perf_counter(); float(np.asarray(chain(x, 1)))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(np.asarray(chain(x, 6)))
-        t6 = time.perf_counter() - t0
-        return (t6 - t1) / 5
+
+        def leg(iters):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(np.asarray(chain(x, iters)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (leg(6) - leg(1)) / 5
 
     prev = 0.0
-    for upto in ["hp", "pseudo", "peaks", "ridge", "refine", "fit"]:
+    for upto in ["hp+frame", "pseudo", "peaks", "ridge", "prerank",
+                 "refine", "fit"]:
         per = timed(upto)
-        print(f"{upto:>8}: {per*1e3:8.2f} ms cumulative "
+        print(f"{upto:>9}: {per*1e3:8.2f} ms cumulative "
               f"(+{(per-prev)*1e3:7.2f} ms) -> {nwin/per:9.0f} win/s",
               flush=True)
         prev = per

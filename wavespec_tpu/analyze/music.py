@@ -150,7 +150,32 @@ def _freq_grid_band(cfg, lo: float, hi: float):
     return jnp.asarray(kg / n, jnp.float32), jnp.asarray(core)
 
 
-def music_pseudospectrum(windows: jax.Array, cfg):
+def band_precondition_windows(series: jax.Array, cfg, hop: int):
+    """Per-band decimated covariance inputs built at SERIES level.
+
+    The per-band preconditioning high-pass normally runs inside
+    `music_pseudospectrum` on every (overlapping) decimated window; for
+    the rolling-STFT batch path one scan over the unframed series per
+    band replaces nwin scans (and the filter is warm at every window
+    start). Equivalent cutoff: the in-window filter runs at the
+    decimated rate with period ~1.5*hi/d, this one at the full rate with
+    period ~1.5*hi. `series` should already carry the main MUSIC
+    high-pass (the preconditioning cascade is main-hp then band-hp).
+
+    Returns a tuple of per-band stacks [nwin, n_keep_b // d_b] matching
+    `music_pseudospectrum`'s `band_windows` parameter.
+    """
+    from wavespec_tpu.extract import frame_series  # circular-safe
+
+    outs = []
+    for (_, hi, d) in _band_plan(cfg):
+        hp_b = ehlers_highpass_detrend(series, max(4, int(1.5 * hi)))
+        w = frame_series(hp_b, cfg.window, hop)
+        outs.append(_decimate_box(w, d))
+    return tuple(outs)
+
+
+def music_pseudospectrum(windows: jax.Array, cfg, band_windows=None):
     """Multi-resolution noise-subspace pseudospectrum over the band.
 
     Per sub-band (see `_band_plan`): box-decimated covariance -> batched
@@ -158,6 +183,9 @@ def music_pseudospectrum(windows: jax.Array, cfg):
     rotation chain is the latency cost and batching is free) -> eigenvalue-
     gated noise projector -> band-grid pseudospectrum, normalized by its
     band mean so bands are comparable.
+
+    `band_windows`: optional pre-built per-band covariance inputs
+    (`band_precondition_windows`) — skips the in-window decimate+high-pass.
 
     The eigenvalue gate matters at flagship defaults (top_k=4, ar_order=10):
     a fixed m-2k split leaves a 2-dim noise subspace, fragile under colored
@@ -184,20 +212,23 @@ def music_pseudospectrum(windows: jax.Array, cfg):
     # residue (whose variance can dwarf in-band cycles) stay out of this
     # band's subspace. This only steers LOCALIZATION — amplitude/phase are
     # always fit on the (globally compensated) full-rate window.
-    covs = [
-        _autocov_toeplitz(
-            ehlers_highpass_detrend(
-                _decimate_box(windows, d), max(4, int(1.5 * hi / d))
-            ),
-            m,
-        )
-        for (_, hi, d) in bands
-    ]
+    if band_windows is not None:
+        covs = [_autocov_toeplitz(bw, m) for bw in band_windows]
+    else:
+        covs = [
+            _autocov_toeplitz(
+                ehlers_highpass_detrend(
+                    _decimate_box(windows, d), max(4, int(1.5 * hi / d))
+                ),
+                m,
+            )
+            for (_, hi, d) in bands
+        ]
     r = jnp.stack(covs, axis=-3)  # [..., R, m, m]
     eigvals, eigvecs = jacobi_eigh(r)  # [..., R, m], [..., R, m, m]
 
-    base_noise = jnp.arange(m) < (m - p)
-    if cfg.music_signal_gate > 0:
+    gate_on = cfg.music_signal_gate > 0
+    if gate_on:
         # Optional eigenvalue gate: candidate signal directions below
         # gate x noise_floor join the noise projector. OFF by default:
         # colored (random-walk) residue has LARGER eigenvalues than weak
@@ -205,13 +236,10 @@ def music_pseudospectrum(windows: jax.Array, cfg):
         # into the noise projector (P then dips at the true frequency).
         # Localization robustness comes from the multi-band split; final
         # ranking is by fitted power, not pseudospectrum magnitude.
+        base_noise = jnp.arange(m) < (m - p)
         noise_floor = jnp.mean(eigvals[..., : m - p], axis=-1, keepdims=True)
         is_noise = eigvals <= cfg.music_signal_gate * jnp.maximum(noise_floor, 1e-30)
         w_noise = (is_noise | base_noise).astype(eigvecs.dtype)
-    else:
-        w_noise = jnp.broadcast_to(
-            base_noise.astype(eigvecs.dtype), eigvals.shape
-        )  # [..., R, m]
 
     pseudos = []
     freq_parts = []
@@ -221,12 +249,25 @@ def music_pseudospectrum(windows: jax.Array, cfg):
         taps = jnp.arange(m, dtype=jnp.float32) * d
         ang = 2.0 * jnp.pi * freqs_b[:, None] * taps[None, :]  # [Gb, m]
         cos_g, sin_g = jnp.cos(ang), jnp.sin(ang)
-        vecs_b = eigvecs[..., bi, :, :]
+        if gate_on:
+            # per-window adaptive projector: project onto ALL m
+            # directions, mask to the gated noise set
+            vecs_b = eigvecs[..., bi, :, :]
+        else:
+            # static split: eigvals ascend, so the noise subspace is the
+            # FIRST m-p eigenvector columns — project onto that block
+            # only (same numbers as the masked full projection, 40% less
+            # grid matmul at flagship m=10, p=4)
+            vecs_b = eigvecs[..., bi, :, : m - p]
         cn = jnp.einsum("gm,...mp->...gp", cos_g, vecs_b,
                         precision=jax.lax.Precision.HIGHEST)
         sn = jnp.einsum("gm,...mp->...gp", sin_g, vecs_b,
                         precision=jax.lax.Precision.HIGHEST)
-        den = jnp.sum((cn * cn + sn * sn) * w_noise[..., bi, None, :], axis=-1)
+        sq = cn * cn + sn * sn
+        if gate_on:
+            den = jnp.sum(sq * w_noise[..., bi, None, :], axis=-1)
+        else:
+            den = jnp.sum(sq, axis=-1)
         pseudo_b = 1.0 / jnp.maximum(den, 1e-12)
         # normalize per band so merged peaks are comparable across bands
         pseudo_b = pseudo_b / jnp.mean(pseudo_b, axis=-1, keepdims=True)
@@ -571,7 +612,8 @@ def _sinusoid_fit(windows: jax.Array, freq: jax.Array,
     return a, b, jnp.maximum(resid, 0.0)
 
 
-def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False) -> jax.Array:
+def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
+                  band_windows=None) -> jax.Array:
     """MUSIC extraction over preconditioned windows ``[..., n]``.
 
     Returns ``[..., top_k, 15]`` stride-15 attrs with method_id=1.
@@ -603,7 +645,9 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False) -> jax.
     if cfg.music_highpass and not pre_highpassed:
         windows = ehlers_highpass_detrend(windows, hp_period)
 
-    pseudo, freqs, eigvals, core, band_slices = music_pseudospectrum(windows, cfg)
+    pseudo, freqs, eigvals, core, band_slices = music_pseudospectrum(
+        windows, cfg, band_windows=band_windows
+    )
 
     # Candidate stage: top-k local maxima PER SUB-BAND (exclusion radius =
     # one FFT bin of frequency), all bands batched into one greedy loop.

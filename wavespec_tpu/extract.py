@@ -430,13 +430,20 @@ def extract_cycles_batch(
         # starts with a warm filter state instead of a cold transient.
         # Only valid when no per-window preconditioning (detrend/taper)
         # would otherwise run between the filter and the window.
-        from wavespec_tpu.analyze.music import music_extract, music_hp_period
+        from wavespec_tpu.analyze.music import (
+            band_precondition_windows,
+            music_extract,
+            music_hp_period,
+        )
 
         hp_series = ehlers_highpass_detrend(
             series.astype(jnp.float32), music_hp_period(cfg)
         )
         windows = frame_series(hp_series, cfg.window, hop)
-        return music_extract(windows, cfg, pre_highpassed=True)
+        band_w = band_precondition_windows(hp_series, cfg, hop)
+        return music_extract(
+            windows, cfg, pre_highpassed=True, band_windows=band_w
+        )
     windows = frame_series(series, cfg.window, hop)
     windows = _precondition(windows, cfg)
     return _extract_windows(windows, cfg)
