@@ -72,7 +72,20 @@ def main() -> None:
             return jnp.sum(freq) + jnp.sum(rp)
         c_count = freq.shape[-1]
         valid = M._dedupe_mask(freq, valid, 0.5 / n)
-        pgram0 = M._periodogram_at(windows, freq)
+        k0 = jnp.clip(jnp.round(freq * n).astype(jnp.int32) - k_min_fb,
+                      0, k_max_fb - k_min_fb)
+        padbp = jnp.pad(
+            band_power, [(0, 0)] * (band_power.ndim - 1) + [(1, 1)],
+            mode="edge")
+        tri = jnp.stack(
+            [padbp[..., :-2], padbp[..., 1:-1], padbp[..., 2:]], axis=-1)
+        p3 = jnp.take_along_axis(tri, k0[..., None], axis=-2)
+        pm, p0, pp = p3[..., 0], p3[..., 1], p3[..., 2]
+        denom = pm - 2.0 * p0 + pp
+        shift = jnp.clip(
+            (pm - pp) / jnp.where(jnp.abs(denom) > 1e-30, 2.0 * denom, 1e-30),
+            -1.0, 1.0)
+        pgram0 = p0 + 0.5 * (pp - pm) * shift + 0.5 * denom * shift * shift
         keep = min(2 * k, c_count)
         pre_key = jnp.where(valid, pgram0, -1.0)
         _, keep_idx = jax.lax.top_k(pre_key, keep)

@@ -502,17 +502,6 @@ def _cg_solve(gram: jax.Array, rhs: jax.Array, iters: int) -> jax.Array:
     return x
 
 
-def _periodogram_at(windows: jax.Array, freq: jax.Array) -> jax.Array:
-    """Exact periodogram |sum_t x[t] e^{-2*pi*i*f*t}|^2 at per-window
-    frequencies freq [..., k] — matrix-free via the factored trig tables."""
-    n = windows.shape[-1]
-    n2 = _split_n2(n)
-    xr = windows.reshape(*windows.shape[:-1], n // n2, n2)
-    c1, s1, c2, s2 = _factored_trig(freq, n // n2, n2)
-    c, s = _trig_dot(xr, c1, s1, c2, s2)
-    return c * c + s * s
-
-
 def _dedupe_mask(freq: jax.Array, valid: jax.Array, tol: float) -> jax.Array:
     """Mask candidates closer than `tol` (cycles/bar) to an EARLIER valid
     candidate (band-overlap duplicates / peaks that merged under
@@ -686,17 +675,38 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
     valid = jnp.concatenate([valid, rp > 0], axis=-1)
 
     # Cheap pre-ranking BEFORE the (trig-dot-heavy) parabolic refinement:
-    # one exact periodogram evaluation per candidate is cross-band
-    # comparable, so only the strongest 2k of the C = R*k + k candidates
-    # pay for the 3-point x 2-iteration refinement (a 2x cut in refine
-    # trig-dot passes at flagship defaults). Grid-level duplicates
-    # (band-overlap picks, ridge seeds landing on a subspace peak) are
-    # masked first so they don't crowd out genuine candidates. All four
-    # per-candidate arrays move through ONE take_along_axis (gathers
-    # serialize on TPU).
+    # only the strongest 2k of the C = R*k + k candidates pay for the
+    # 3-point x 2-iteration refinement. The rank key is the FFT band
+    # power ALREADY computed for the ridge seeds, parabola-interpolated
+    # through the three bins around each candidate (off-grid subspace
+    # peaks would lose up to sinc^2(pi/2) ~ 0.41x against on-bin seeds
+    # under a nearest-bin read; the vertex height restores them). This is
+    # gathers + elementwise — no extra pass over the window data, which
+    # an exact per-candidate periodogram costs (~1 ms at 512 windows).
+    # Grid-level duplicates (band-overlap picks, ridge seeds landing on a
+    # subspace peak) are masked first so they don't crowd out genuine
+    # candidates. All four per-candidate arrays move through ONE
+    # take_along_axis (gathers serialize on TPU).
     c_count = freq.shape[-1]
     valid = _dedupe_mask(freq, valid, 0.5 / n)
-    pgram0 = _periodogram_at(windows, freq)
+    k0 = jnp.clip(
+        jnp.round(freq * n).astype(jnp.int32) - k_min_fb,
+        0, k_max_fb - k_min_fb,
+    )
+    padbp = jnp.pad(
+        band_power, [(0, 0)] * (band_power.ndim - 1) + [(1, 1)], mode="edge"
+    )
+    tri = jnp.stack(
+        [padbp[..., :-2], padbp[..., 1:-1], padbp[..., 2:]], axis=-1
+    )                                             # [..., Kb, 3]
+    p3 = jnp.take_along_axis(tri, k0[..., None], axis=-2)  # [..., C, 3]
+    pm, p0, pp = p3[..., 0], p3[..., 1], p3[..., 2]
+    denom = pm - 2.0 * p0 + pp
+    shift = jnp.clip(
+        (pm - pp) / jnp.where(jnp.abs(denom) > 1e-30, 2.0 * denom, 1e-30),
+        -1.0, 1.0,
+    )
+    pgram0 = p0 + 0.5 * (pp - pm) * shift + 0.5 * denom * shift * shift
     keep = min(2 * k, c_count)
     pre_key = jnp.where(valid, pgram0, -1.0)
     _, keep_idx = jax.lax.top_k(pre_key, keep)
