@@ -87,18 +87,22 @@ def main() -> None:
             -1.0, 1.0)
         pgram0 = p0 + 0.5 * (pp - pm) * shift + 0.5 * denom * shift * shift
         keep = min(2 * k, c_count)
+        grid_step = 1.0 / (cfg.music_grid_per_bin * n)
+        step0 = jnp.concatenate([
+            jnp.full(freq.shape[:-1] + (c_count - k,), grid_step, jnp.float32),
+            jnp.full(freq.shape[:-1] + (k,), 0.5 / n, jnp.float32)], axis=-1)
         pre_key = jnp.where(valid, pgram0, -1.0)
         _, keep_idx = jax.lax.top_k(pre_key, keep)
         packed = jnp.stack(
-            [freq, valid.astype(jnp.float32), gidx.astype(jnp.float32), vals],
+            [freq, valid.astype(jnp.float32), gidx.astype(jnp.float32), vals,
+             step0],
             axis=-1)
         taken = jnp.take_along_axis(packed, keep_idx[..., None], axis=-2)
         freq = taken[..., 0]
         valid = taken[..., 1] > 0.5
         if upto == "prerank":
             return jnp.sum(freq) + jnp.sum(taken)
-        grid_step = 1.0 / (cfg.music_grid_per_bin * n)
-        freq, _ = M._refine_freq(windows, freq, step=grid_step)
+        freq, _ = M._refine_freq(windows, freq, step=taken[..., 4])
         valid = M._dedupe_mask(freq, valid, 0.5 / n)
         if upto == "refine":
             return jnp.sum(freq) + jnp.sum(valid)

@@ -279,3 +279,28 @@ def test_music_flagship_defaults_on_drifting_feed():
     # the strongest pick is a planted cycle, not a band-edge drift peak
     top = periods[np.argmax(amps)]
     assert abs(top - 48) < 5 or abs(top - 130) < 12, periods
+
+
+def test_music_off_grid_weakest_cycle_survives_prerank():
+    """The pre-refinement ranking reads FFT band power through a parabola
+    interpolation of the three bins around each candidate. A weak cycle
+    sitting exactly HALF an FFT bin off-grid (worst sinc rolloff: its
+    nearest-bin power is only ~0.41x) must not be crowded out of the
+    keep=2k refinement set by stronger on-grid cycles and noise picks."""
+    cfg = ExtractConfig(window=4096, top_k=4, min_period=9.0, max_period=200.0,
+                        method=Method.MUSIC, ar_order=10)
+    n = 4096
+    # bins 40, 60.5 (half-bin off-grid, WEAKEST), 90, 130
+    bins = [40.0, 60.5, 90.0, 130.0]
+    amps = [3.0, 0.5, 2.0, 1.5]
+    t = np.arange(n)
+    x = sum(a * np.sin(2 * np.pi * (b / n) * t + 0.3 * i)
+            for i, (a, b) in enumerate(zip(amps, bins)))
+    x = (x + 0.2 * np.random.default_rng(3).standard_normal(n)).astype(np.float32)
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    got_periods = attrs[:, PERIOD]
+    for b, a in zip(bins, amps):
+        want = n / b
+        i = int(np.argmin(np.abs(got_periods - want)))
+        assert abs(got_periods[i] - want) / want < 0.02, (b, got_periods)
+        assert abs(attrs[i, AMPLITUDE] - a) / a < 0.2, (b, attrs[:, AMPLITUDE])

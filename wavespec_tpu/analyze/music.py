@@ -515,7 +515,7 @@ def _dedupe_mask(freq: jax.Array, valid: jax.Array, tol: float) -> jax.Array:
 
 
 def _refine_freq(
-    windows: jax.Array, freq: jax.Array, step: float, iters: int = 2
+    windows: jax.Array, freq: jax.Array, step, iters: int = 2
 ) -> jax.Array:
     """Parabolically refine frequencies against the window periodogram.
 
@@ -525,6 +525,12 @@ def _refine_freq(
     evaluates the exact periodogram |sum_t x e^{-2pi i f t}|^2 at f-step,
     f, f+step and moves to the parabola vertex. Evaluation is matrix-free
     via the factored trig tables (`_factored_trig`) — no length-n cos/sin.
+
+    `step` may be scalar or per-candidate ``[..., k]``: ridge-seeded
+    candidates start at an integer FFT bin, up to HALF a bin from the true
+    line, beyond the ±(step + step/4) reach of the subspace grid's fine
+    step — they need a half-bin first step, while subspace picks keep the
+    fine step so a 1-bin-away neighbor never enters their parabola.
     """
     n = windows.shape[-1]
     n2 = _split_n2(n)
@@ -539,16 +545,26 @@ def _refine_freq(
         return p.reshape(*f.shape)
 
     offsets = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+    step = jnp.asarray(step, jnp.float32)  # scalar or [..., k]
     p = None
     for _ in range(iters):
-        cand = freq[..., None] + step * offsets  # [..., k, 3]
+        cand = freq[..., None] + step[..., None] * offsets  # [..., k, 3]
         p = periodogram(cand)
-        # parabola vertex through (-1, p0), (0, p1), (1, p2)
+        # parabola vertex through (-1, p0), (0, p1), (1, p2) — valid only
+        # when the triple is concave (center >= both ends would suffice;
+        # denom < 0 is the quadratic's condition). A ridge seed half a
+        # bin from a strong line sees an INCREASING triple: its
+        # "vertex" is a minimum and the update would walk AWAY from the
+        # peak, so step toward the larger endpoint instead.
         denom = p[..., 0] - 2.0 * p[..., 1] + p[..., 2]
-        shift = 0.5 * (p[..., 0] - p[..., 2]) / jnp.where(
+        vertex = 0.5 * (p[..., 0] - p[..., 2]) / jnp.where(
             jnp.abs(denom) > 1e-30, denom, 1e-30
         )
-        shift = jnp.clip(shift, -1.0, 1.0)
+        shift = jnp.where(
+            denom < 0.0,
+            jnp.clip(vertex, -1.0, 1.0),
+            jnp.sign(p[..., 2] - p[..., 0]),
+        )
         freq = freq + shift * step
         step = step / 4.0
     return freq, p[..., 1]
@@ -710,18 +726,32 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
     keep = min(2 * k, c_count)
     pre_key = jnp.where(valid, pgram0, -1.0)
     _, keep_idx = jax.lax.top_k(pre_key, keep)
-    packed = jnp.stack(
-        [freq, valid.astype(jnp.float32), gidx.astype(jnp.float32), vals],
+    # Per-candidate refine step: subspace picks sit within one grid cell
+    # of the truth (fine step keeps 1-bin-away neighbors out of their
+    # parabola); ridge seeds start at an integer bin, up to half a bin
+    # off, and need the half-bin step to reach it.
+    grid_step = 1.0 / (cfg.music_grid_per_bin * n)
+    ridge_step = 0.5 / n
+    step0 = jnp.concatenate(
+        [
+            jnp.full(freq.shape[:-1] + (c_count - k,), grid_step, jnp.float32),
+            jnp.full(freq.shape[:-1] + (k,), ridge_step, jnp.float32),
+        ],
         axis=-1,
-    )                                             # [..., C, 4]
+    )
+    packed = jnp.stack(
+        [freq, valid.astype(jnp.float32), gidx.astype(jnp.float32), vals,
+         step0],
+        axis=-1,
+    )                                             # [..., C, 5]
     taken = jnp.take_along_axis(packed, keep_idx[..., None], axis=-2)
     freq = taken[..., 0]
     valid = taken[..., 1] > 0.5
     gidx = taken[..., 2].astype(jnp.int32)
     vals = taken[..., 3]
+    step0 = taken[..., 4]
 
-    grid_step = 1.0 / (cfg.music_grid_per_bin * n)
-    freq, _ = _refine_freq(windows, freq, step=grid_step)
+    freq, _ = _refine_freq(windows, freq, step=step0)
 
     # Refinement can merge two distinct grid peaks onto one frequency;
     # re-dedupe so the fit basis stays non-singular.
