@@ -32,36 +32,49 @@ def main() -> None:
     x = jax.device_put(jnp.asarray(batch))
     import sys as _sys
     use_pallas = "--pallas" in _sys.argv
-    cfg = ExtractConfig(window=window, top_k=4, min_period=9.0, max_period=200.0,
-                        method=Method.FFT_RIDGE, use_pallas_dft=use_pallas)
 
-    def run(s):
-        return jax.vmap(lambda r: extract_cycles_batch(r, cfg, hop=hop))(s)
+    def measure(cfg):
+        def run(s):
+            return jax.vmap(lambda r: extract_cycles_batch(r, cfg, hop=hop))(s)
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def chain(s, iters: int):
-        def body(_, carry):
-            s, acc = carry
-            attrs = run(s)
-            tot = jnp.sum(attrs[:, 0, 0, 0])
-            return s * (1.0 + 0.0 * tot), acc + tot
-        _, acc = jax.lax.fori_loop(0, iters, body, (s, 0.0))
-        return acc
+        @partial(jax.jit, static_argnames=("iters",))
+        def chain(s, iters: int):
+            def body(_, carry):
+                s, acc = carry
+                attrs = run(s)
+                tot = jnp.sum(attrs[:, 0, 0, 0])
+                return s * (1.0 + 0.0 * tot), acc + tot
+            _, acc = jax.lax.fori_loop(0, iters, body, (s, 0.0))
+            return acc
 
-    float(np.asarray(chain(x, 1)))
-    float(np.asarray(chain(x, 6)))
-    per = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter(); float(np.asarray(chain(x, 1))); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(np.asarray(chain(x, 6))); t6 = time.perf_counter() - t0
-        per = min(per, (t6 - t1) / 5)
-    n_windows = n_series * 32
+        float(np.asarray(chain(x, 1)))
+        float(np.asarray(chain(x, 6)))
+        per = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter(); float(np.asarray(chain(x, 1))); t1 = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(np.asarray(chain(x, 6))); t6 = time.perf_counter() - t0
+            per = min(per, (t6 - t1) / 5)
+        return n_series * 32 / per
+
+    ridge_cfg = ExtractConfig(window=window, top_k=4, min_period=9.0,
+                              max_period=200.0, method=Method.FFT_RIDGE,
+                              use_pallas_dft=use_pallas)
     print(json.dumps({
         "metric": "multiseries_4096pt_windows_per_sec_per_chip",
         "series": n_series,
-        "value": round(n_windows / per, 1),
+        "value": round(measure(ridge_cfg), 1),
         "unit": "windows/s/chip",
-    }))
+    }), flush=True)
+
+    music_cfg = ExtractConfig(window=window, top_k=4, min_period=9.0,
+                              max_period=200.0, method=Method.MUSIC,
+                              ar_order=10)
+    print(json.dumps({
+        "metric": "multiseries_music_4096pt_windows_per_sec_per_chip",
+        "series": n_series,
+        "value": round(measure(music_cfg), 1),
+        "unit": "windows/s/chip",
+    }), flush=True)
 
 
 if __name__ == "__main__":
