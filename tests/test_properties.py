@@ -80,3 +80,47 @@ def test_attrs_bounded_fields():
         assert (a[valid, ex.ETA_CONFIDENCE] >= 0).all() and (a[valid, ex.ETA_CONFIDENCE] <= 1).all()
         assert (a[valid, ex.ETA_BARS] >= 0).all()
         assert (a[valid, ex.PERIOD] >= 0).all()
+
+
+def test_config_matrix_smoke():
+    """Shape/validity smoke across the legal config space: every
+    combination must compile, return [top_k, 15] attrs, and keep
+    field invariants (valid rows have period inside the band, bounded
+    coherence/energy_ratio) — catches shape bugs that single-config
+    tests at flagship defaults never exercise."""
+    from wavespec_tpu.extract import extract_cycles_batch
+
+    rng = np.random.default_rng(11)
+    combos = [
+        # (window, top_k, ar, min_p, max_p, method, hop)
+        (256, 1, 6, 9.0, 60.0, Method.FFT_RIDGE, 32),
+        (256, 3, 8, 4.0, 100.0, Method.MUSIC, 64),
+        (512, 8, 10, 18.0, 200.0, Method.FFT_RIDGE, 1),
+        (512, 2, 12, 10.0, 40.0, Method.MUSIC, 100),
+        (1024, 4, 10, 9.0, 200.0, Method.MUSIC, 512),
+        (1024, 6, 16, 30.0, 300.0, Method.FFT_RIDGE, 7),
+        (2048, 5, 14, 9.0, 500.0, Method.MUSIC, 48),
+    ]
+    for window, top_k, ar, min_p, max_p, method, hop in combos:
+        c = ExtractConfig(window=window, top_k=top_k, min_period=min_p,
+                          max_period=max_p, method=method, ar_order=ar)
+        slen = window + 2 * hop
+        t = np.arange(slen)
+        x = (np.cumsum(0.05 * rng.standard_normal(slen))
+             + 2.0 * np.sin(2 * np.pi * t / (0.5 * (min_p + max_p)))
+             ).astype(np.float32)
+        attrs = np.asarray(extract_cycles_batch(jnp.asarray(x), c, hop=hop))
+        assert attrs.shape == (3, top_k, 15), (c, attrs.shape)
+        valid = attrs[..., ex.AMPLITUDE] > 0
+        per = attrs[..., ex.PERIOD][valid]
+        # periods inside the band (refinement may step one bin past the
+        # band edge; allow that margin)
+        bin_p_lo = window / (window / min_p + 1)
+        bin_p_hi = window / max(window / max_p - 1, 1)
+        assert np.all(per >= bin_p_lo * 0.99), (c, per.min())
+        assert np.all(per <= bin_p_hi * 1.01), (c, per.max())
+        coh = attrs[..., ex.COHERENCE][valid]
+        er = attrs[..., ex.ENERGY_RATIO][valid]
+        assert np.all((coh >= 0) & (coh <= 1.0 + 1e-5)), c
+        assert np.all((er >= 0) & (er <= 1.0 + 1e-5)), c
+        assert np.all(np.isfinite(attrs)), c
