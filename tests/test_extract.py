@@ -304,3 +304,26 @@ def test_music_off_grid_weakest_cycle_survives_prerank():
         i = int(np.argmin(np.abs(got_periods - want)))
         assert abs(got_periods[i] - want) / want < 0.02, (b, got_periods)
         assert abs(attrs[i, AMPLITUDE] - a) / a < 0.2, (b, attrs[:, AMPLITUDE])
+
+
+def test_nearest_merged_idx_matches_bruteforce():
+    """The merged multi-band grid is NOT globally sorted (frequency
+    descends block to block); `_nearest_merged_idx` must still return the
+    globally nearest grid point (a plain searchsorted on the merged
+    array returns unrelated indices — the round-2 ridge-seed bug)."""
+    import wavespec_tpu.analyze.music as M
+
+    cfg = ExtractConfig(window=4096, top_k=4, min_period=9.0,
+                        max_period=200.0, method=Method.MUSIC, ar_order=10)
+    w = jnp.zeros((1, 4096), jnp.float32)
+    _, freqs, _, _, band_slices = M.music_pseudospectrum(w, cfg)
+    f_np = np.asarray(freqs)
+    assert not np.all(np.diff(f_np) >= 0)  # the premise: merged grid unsorted
+
+    rng = np.random.default_rng(5)
+    probe = rng.uniform(1.0 / 200.0, 1.0 / 9.0, size=(2, 6)).astype(np.float32)
+    got = np.asarray(M._nearest_merged_idx(freqs, band_slices, jnp.asarray(probe)))
+    brute = np.abs(f_np[None, None, :] - probe[..., None]).argmin(axis=-1)
+    np.testing.assert_allclose(
+        np.abs(f_np[got] - probe), np.abs(f_np[brute] - probe), atol=1e-9
+    )

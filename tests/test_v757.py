@@ -1,6 +1,7 @@
 """End-to-end v7.57 analytics pipeline test."""
 
 import numpy as np
+import jax.numpy as jnp
 
 from wavespec_tpu.analyze.eta import EtaMode
 from wavespec_tpu.extract import DetrendMode
@@ -94,3 +95,27 @@ def test_v757_no_repaint():
     frames = a["slot_period"].shape[0]
     for key in ("slot_period", "slot_uid", "color", "sig", "states"):
         np.testing.assert_array_equal(a[key], b[key][:frames])
+
+
+def test_pack_transfer_roundtrips_large_uids():
+    """slot_uid rides the single packed f32 transfer as a BITCAST lane: a
+    value cast would round uids above 2^24 (f32 spacing 2). Round-trip
+    values straddling and far beyond that limit, plus denormal-range
+    small ints."""
+    from wavespec_tpu.pipeline.v757 import _pack_transfer, _unpack_transfer
+
+    uids = np.array([[1, 2, 3], [2**24 - 1, 2**24 + 1, 2**24 + 3],
+                     [2**30 + 7, 5, 2**31 - 1]], np.int32)
+    out = {
+        "slot_uid": jnp.asarray(uids),
+        "slot_valid": jnp.asarray(uids % 2 == 1),
+        "eta_raw": jnp.asarray(np.linspace(-3, 3, 9, dtype=np.float32).reshape(3, 3)),
+        "confluence": jnp.asarray(np.array([0.0, 1.0, 2.0], np.float32)),
+    }
+    packed, spans = _pack_transfer(out)
+    back = _unpack_transfer(np.asarray(packed), spans)
+    np.testing.assert_array_equal(back["slot_uid"], uids)
+    assert back["slot_uid"].dtype == np.int32
+    np.testing.assert_array_equal(back["slot_valid"], np.asarray(uids % 2 == 1))
+    np.testing.assert_allclose(back["eta_raw"], np.asarray(out["eta_raw"]))
+    assert back["confluence"].shape == (3,)

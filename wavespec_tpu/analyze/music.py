@@ -286,37 +286,6 @@ def music_pseudospectrum(windows: jax.Array, cfg, band_windows=None):
     return pseudo, freqs, eigvals, core, tuple(slices)
 
 
-def _topk_local_maxima(pseudo: jax.Array, freqs: jax.Array, k: int, excl: float,
-                       candidate: jax.Array | None = None):
-    """Top-k local maxima with a +/-`excl`-point exclusion zone per pick.
-
-    Noise makes the pseudospectrum jagged: adjacent grid points can both be
-    strict local maxima of the same physical peak, so a plain top-k returns
-    near-duplicate frequencies (and the downstream sinusoid fit then sees
-    nearly collinear columns). We pick greedily, masking a +/-`excl`
-    FREQUENCY radius around each accepted peak — the merged multi-band
-    grid is non-uniform, so index distance would miss duplicates at band
-    boundaries.
-    """
-    left = jnp.concatenate([pseudo[..., :1], pseudo[..., :-1]], axis=-1)
-    right = jnp.concatenate([pseudo[..., 1:], pseudo[..., -1:]], axis=-1)
-    is_peak = (pseudo >= left) & (pseudo > right)
-    if candidate is not None:
-        is_peak = is_peak & candidate
-    masked = jnp.where(is_peak, pseudo, jnp.zeros_like(pseudo))
-
-    vals, idxs = [], []
-    for _ in range(k):
-        v = jnp.max(masked, axis=-1)
-        i = jnp.argmax(masked, axis=-1)
-        vals.append(v)
-        idxs.append(i)
-        f_pick = freqs[i]
-        far = jnp.abs(freqs - f_pick[..., None]) > excl
-        masked = jnp.where(far, masked, 0.0)
-    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
-
-
 def _topk_local_maxima_bands(
     pseudo: jax.Array,           # [..., G] merged grid
     freqs: jax.Array,            # [G]
@@ -325,13 +294,16 @@ def _topk_local_maxima_bands(
     k: int,
     excl: float,
 ):
-    """Per-band greedy peak picking with ALL BANDS BATCHED into one loop.
+    """Per-band greedy top-k local maxima, ALL BANDS BATCHED into one loop.
 
-    Running `_topk_local_maxima` per band costs R*k sequential
-    argmax/mask rounds in the latency chain; padding the bands to a
-    common length and stacking them on a new axis runs the same greedy
-    exclusion in k rounds total. Returns (vals [..., R*k],
-    gidx [..., R*k] into the MERGED grid).
+    Noise makes the pseudospectrum jagged: adjacent grid points can both
+    be strict local maxima of the same physical peak, so each accepted
+    pick masks a +/-`excl` FREQUENCY radius (the grid is non-uniform —
+    index distance would miss duplicates at band boundaries). Running
+    the greedy exclusion per band would cost R*k sequential argmax/mask
+    rounds in the latency chain; padding the bands to a common length
+    and stacking them on a new axis runs it in k rounds total. Returns
+    (vals [..., R*k], gidx [..., R*k] into the MERGED grid).
     """
     g_max = max(s1 - s0 for s0, s1 in band_slices)
     r = len(band_slices)
@@ -502,6 +474,34 @@ def _cg_solve(gram: jax.Array, rhs: jax.Array, iters: int) -> jax.Array:
     return x
 
 
+def _nearest_merged_idx(freqs: jax.Array, band_slices: tuple,
+                        f: jax.Array) -> jax.Array:
+    """Nearest MERGED-grid index for frequencies ``f [..., k]``.
+
+    The merged multi-band grid is NOT globally sorted (bands are
+    ascending-period, so frequency DESCENDS block to block) — a global
+    searchsorted returns unrelated indices. Each band's slice IS
+    ascending: searchsorted per band (R static slices), then keep the
+    band whose nearest point is closest.
+    """
+    cand_idx = []
+    cand_dist = []
+    for (s0, s1) in band_slices:
+        fb = freqs[s0:s1]
+        i_hi = jnp.clip(jnp.searchsorted(fb, f), 0, s1 - s0 - 1)
+        i_lo = jnp.clip(i_hi - 1, 0, s1 - s0 - 1)
+        d_hi = jnp.abs(fb[i_hi] - f)
+        d_lo = jnp.abs(fb[i_lo] - f)
+        use_lo = d_lo < d_hi
+        cand_idx.append(jnp.where(use_lo, i_lo, i_hi) + s0)
+        cand_dist.append(jnp.where(use_lo, d_lo, d_hi))
+    dist = jnp.stack(cand_dist, axis=-1)             # [..., k, R]
+    best_band = jnp.argmin(dist, axis=-1)            # [..., k]
+    return jnp.take_along_axis(
+        jnp.stack(cand_idx, axis=-1), best_band[..., None], axis=-1
+    )[..., 0].astype(jnp.int32)
+
+
 def _dedupe_mask(freq: jax.Array, valid: jax.Array, tol: float) -> jax.Array:
     """Mask candidates closer than `tol` (cycles/bar) to an EARLIER valid
     candidate (band-overlap duplicates / peaks that merged under
@@ -617,42 +617,28 @@ def _sinusoid_fit(windows: jax.Array, freq: jax.Array,
     return a, b, jnp.maximum(resid, 0.0)
 
 
-def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
-                  band_windows=None) -> jax.Array:
-    """MUSIC extraction over preconditioned windows ``[..., n]``.
+def music_candidates(windows: jax.Array, cfg, band_windows=None,
+                     upto: str | None = None) -> dict:
+    """The MUSIC candidate pipeline: pseudospectrum -> per-band peaks ->
+    ridge seeds -> pre-rank -> parabolic refine -> LS fit.
 
-    Returns ``[..., top_k, 15]`` stride-15 attrs with method_id=1.
-    Power scale is FFT-compatible: a fitted amplitude A maps to
-    ``(A*n/2)^2`` (the exact-bin |X_k|^2 of that sinusoid), and the noise
-    floor is the per-bin residual power (Parseval), so snr_db/energy_ratio
-    are directly comparable with the FFT-ridge method's.
-
-    `pre_highpassed`: the caller already ran `ehlers_highpass_detrend` at
-    this config's `hp_period` over the UNFRAMED series (the rolling-STFT
-    batch path — one scan over the series instead of one per overlapping
-    window, and the filter is warm at every window start instead of
-    re-cold-starting). The frequency-domain gain compensation below still
-    applies either way.
+    The SINGLE source of truth for the stage sequence — `music_extract`
+    consumes the full run, and `benchmarks/profile_music.py` times
+    truncated prefixes via `upto` (one of "pseudo", "peaks", "ridge",
+    "prerank", "refine"; None runs everything) instead of duplicating
+    the stage code. Returns a dict of whatever exists at the stop point.
     """
-    from wavespec_tpu.extract import Method, _attrs_from_peaks  # circular-safe
-
     n = cfg.window
     k = cfg.top_k
-    m = cfg.ar_order
-    p = 2 * min(cfg.music_signals_per_band, k)
 
-    # Subspace preconditioning: MUSIC models sinusoids in white-ish noise;
-    # raw price is a random walk whose low-frequency power swamps the
-    # covariance. High-pass above the analysis band before both the
-    # covariance and the amplitude fit, then undo the filter's (exactly
-    # known) complex gain at each fitted frequency.
-    hp_period = music_hp_period(cfg)
-    if cfg.music_highpass and not pre_highpassed:
-        windows = ehlers_highpass_detrend(windows, hp_period)
-
+    out: dict = {}
     pseudo, freqs, eigvals, core, band_slices = music_pseudospectrum(
         windows, cfg, band_windows=band_windows
     )
+    out.update(pseudo=pseudo, freqs=freqs, eigvals=eigvals, core=core,
+               band_slices=band_slices)
+    if upto == "pseudo":
+        return out
 
     # Candidate stage: top-k local maxima PER SUB-BAND (exclusion radius =
     # one FFT bin of frequency), all bands batched into one greedy loop.
@@ -664,6 +650,9 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
     )                                             # [..., C]
     freq = freqs[gidx]                            # [..., C]
     valid = vals > 0
+    out.update(freq=freq, valid=valid, gidx=gidx, vals=vals)
+    if upto == "peaks":
+        return out
 
     # Periodogram-seeded candidates: the FFT-ridge top-k bins join the
     # candidate set. Colored (random-walk) residue can bias the subspace
@@ -682,13 +671,15 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
     ]
     rp, ridx = jax.lax.top_k(band_power, k)
     ridge_freq = (ridx + k_min_fb).astype(jnp.float32) / n
-    ridge_gidx = jnp.clip(
-        jnp.searchsorted(freqs, ridge_freq), 0, freqs.shape[0] - 1
-    )
+    ridge_gidx = _nearest_merged_idx(freqs, band_slices, ridge_freq)
     freq = jnp.concatenate([freq, ridge_freq], axis=-1)
     gidx = jnp.concatenate([gidx, ridge_gidx], axis=-1)
-    vals = jnp.concatenate([vals, jnp.take_along_axis(pseudo, ridge_gidx, axis=-1)], axis=-1)
+    vals = jnp.concatenate(
+        [vals, jnp.take_along_axis(pseudo, ridge_gidx, axis=-1)], axis=-1)
     valid = jnp.concatenate([valid, rp > 0], axis=-1)
+    out.update(freq=freq, valid=valid, gidx=gidx, vals=vals, rp=rp)
+    if upto == "ridge":
+        return out
 
     # Cheap pre-ranking BEFORE the (trig-dot-heavy) parabolic refinement:
     # only the strongest 2k of the C = R*k + k candidates pay for the
@@ -701,7 +692,7 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
     # an exact per-candidate periodogram costs (~1 ms at 512 windows).
     # Grid-level duplicates (band-overlap picks, ridge seeds landing on a
     # subspace peak) are masked first so they don't crowd out genuine
-    # candidates. All four per-candidate arrays move through ONE
+    # candidates. All five per-candidate arrays move through ONE
     # take_along_axis (gathers serialize on TPU).
     c_count = freq.shape[-1]
     valid = _dedupe_mask(freq, valid, 0.5 / n)
@@ -750,14 +741,62 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
     gidx = taken[..., 2].astype(jnp.int32)
     vals = taken[..., 3]
     step0 = taken[..., 4]
+    out.update(freq=freq, valid=valid, gidx=gidx, vals=vals, step0=step0)
+    if upto == "prerank":
+        return out
 
     freq, _ = _refine_freq(windows, freq, step=step0)
 
     # Refinement can merge two distinct grid peaks onto one frequency;
     # re-dedupe so the fit basis stays non-singular.
     valid = _dedupe_mask(freq, valid, 0.5 / n)
+    out.update(freq=freq, valid=valid)
+    if upto == "refine":
+        return out
 
-    a, b, resid_energy = _sinusoid_fit(windows, freq, valid=valid.astype(jnp.float32))
+    a, b, resid_energy = _sinusoid_fit(
+        windows, freq, valid=valid.astype(jnp.float32))
+    out.update(a=a, b=b, resid_energy=resid_energy)
+    return out
+
+
+def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
+                  band_windows=None) -> jax.Array:
+    """MUSIC extraction over preconditioned windows ``[..., n]``.
+
+    Returns ``[..., top_k, 15]`` stride-15 attrs with method_id=1.
+    Power scale is FFT-compatible: a fitted amplitude A maps to
+    ``(A*n/2)^2`` (the exact-bin |X_k|^2 of that sinusoid), and the noise
+    floor is the per-bin residual power (Parseval), so snr_db/energy_ratio
+    are directly comparable with the FFT-ridge method's.
+
+    `pre_highpassed`: the caller already ran `ehlers_highpass_detrend` at
+    this config's `hp_period` over the UNFRAMED series (the rolling-STFT
+    batch path — one scan over the series instead of one per overlapping
+    window, and the filter is warm at every window start instead of
+    re-cold-starting). The frequency-domain gain compensation below still
+    applies either way.
+    """
+    from wavespec_tpu.extract import Method, _attrs_from_peaks  # circular-safe
+
+    n = cfg.window
+    k = cfg.top_k
+    m = cfg.ar_order
+    p = 2 * min(cfg.music_signals_per_band, k)
+
+    # Subspace preconditioning: MUSIC models sinusoids in white-ish noise;
+    # raw price is a random walk whose low-frequency power swamps the
+    # covariance. High-pass above the analysis band before both the
+    # covariance and the amplitude fit, then undo the filter's (exactly
+    # known) complex gain at each fitted frequency.
+    hp_period = music_hp_period(cfg)
+    if cfg.music_highpass and not pre_highpassed:
+        windows = ehlers_highpass_detrend(windows, hp_period)
+
+    st = music_candidates(windows, cfg, band_windows=band_windows)
+    pseudo, eigvals = st["pseudo"], st["eigvals"]
+    freq, valid, gidx, vals = st["freq"], st["valid"], st["gidx"], st["vals"]
+    a, b, resid_energy = st["a"], st["b"], st["resid_energy"]
     amp = jnp.sqrt(a * a + b * b)
     # x = a cos + b sin = amp * sin(w t + psi), psi = atan2(a, b)
     psi = jnp.arctan2(a, b)

@@ -159,18 +159,24 @@ def run_pipeline(series: jax.Array, spec: PipelineSpec):
     window = x[..., -spec.extract.window:]
     attrs = extract_cycles(window, spec.extract)
 
+    seg_power = None
     if spec.segment is not None:
         # Segmented long-window preset (`gpu_wave_fft_segmented` inside the
-        # template job): the COHERENT complex mix feeds the freq stages and
-        # phase products (they need a complex spectrum); the preset's own
-        # mix_mode shapes the `fft_power` product below.
-        from wavespec_tpu.mesh.segmented import MixMode, fft_segmented
-
-        seg_len = spec.segment.segment_len
-        seg_ov = spec.segment.resolved_overlap()
-        spec_bins = fft_segmented(
-            window, seg_len, seg_ov, MixMode.COHERENT
+        # template job): the per-segment spectra are computed ONCE — the
+        # COHERENT complex mix feeds the freq stages and phase products
+        # (they need a complex spectrum) while the preset's own mix_mode
+        # shapes the `fft_power` product; re-running fft_segmented per mix
+        # would double the dominant per-segment DFT cost of the job.
+        from wavespec_tpu.mesh.segmented import (
+            MixMode, _mix, rfft_mxu as _seg_rfft, split_segments,
         )
+
+        segs = split_segments(
+            window, spec.segment.segment_len, spec.segment.resolved_overlap()
+        )
+        seg_spec = _seg_rfft(segs)
+        spec_bins = _mix(seg_spec, MixMode.COHERENT, axis=-2)
+        seg_power = _mix(seg_spec, MixMode(spec.segment.mix_mode), axis=-2)
     else:
         spec_bins = rfft_mxu(window)
     for st in spec.freq_stages:
@@ -204,13 +210,8 @@ def run_pipeline(series: jax.Array, spec: PipelineSpec):
             jnp.where(attrs[:, 0] > 0, attrs[:, 12], 0.0)
         ),  # sum of per-cycle one-step predictions (KALMAN_PRED field)
     }
-    if spec.segment is not None:
-        from wavespec_tpu.mesh.segmented import MixMode, fft_segmented
-
-        out["fft_power"] = fft_segmented(
-            window, spec.segment.segment_len, spec.segment.resolved_overlap(),
-            MixMode(spec.segment.mix_mode),
-        )
+    if seg_power is not None:
+        out["fft_power"] = seg_power
     if spec.emit_filtered:
         out["filtered"] = irfft_mxu(spec_bins, n_eff)
     return out

@@ -230,30 +230,52 @@ def run_v757(
     # ONE host transfer: the remote tunnel makes per-array device->host
     # copies the wall-clock bottleneck (~15 small transfers cost more than
     # the whole device computation). Pack everything into a single [T, F]
-    # f32 buffer and split host-side; integer/bool dtypes are restored
-    # exactly (uid < 2^24).
-    keys = list(out.keys())
+    # f32 buffer and split host-side.
+    packed, spans = _pack_transfer(out)
+    return _unpack_transfer(np.asarray(packed), spans)
+
+
+_INT_COLS = frozenset({"slot_uid"})
+_BOOL_COLS = frozenset({"slot_valid", "leak_active"})
+
+
+def _pack_transfer(out: dict):
+    """Pack a dict of [T]/[T, S] device arrays into one [T, F] f32 buffer.
+
+    Integer columns (slot_uid) ride as BITCAST f32 lanes — a value cast
+    would silently round uids above 2^24 (f32 spacing is 2 there, and
+    next_uid grows unboundedly: n_candidates=0 mode can allocate up to
+    `capacity` trackers per frame); the bitcast round-trips every int32
+    value exactly (no arithmetic touches the lanes, so denormal bit
+    patterns survive the copy).
+    """
     cols = []
     spans = {}
     pos = 0
-    for k in keys:
-        v = out[k]
+    for k, v in out.items():
         v2 = v[:, None] if v.ndim == 1 else v
         spans[k] = (pos, pos + v2.shape[1], v.ndim)
         pos += v2.shape[1]
-        cols.append(v2.astype(jnp.float32))
-    packed = np.asarray(jnp.concatenate(cols, axis=1))
+        if k in _INT_COLS:
+            cols.append(jax.lax.bitcast_convert_type(
+                v2.astype(jnp.int32), jnp.float32))
+        else:
+            cols.append(v2.astype(jnp.float32))
+    return jnp.concatenate(cols, axis=1), spans
 
-    restore = {"slot_valid": bool, "leak_active": bool, "slot_uid": np.int32}
+
+def _unpack_transfer(packed: np.ndarray, spans: dict) -> dict[str, np.ndarray]:
+    """Host-side split of `_pack_transfer`'s buffer; exact dtype restore."""
     result = {}
-    for k in keys:
-        lo, hi, ndim = spans[k]
+    for k, (lo, hi, ndim) in spans.items():
         arr = packed[:, lo:hi]
-        if ndim == 1:
-            arr = arr[:, 0]
-        if k in restore:
-            arr = (arr > 0.5) if restore[k] is bool else arr.astype(restore[k])
+        if k in _BOOL_COLS:
+            arr = arr > 0.5
+        elif k in _INT_COLS:
+            arr = np.ascontiguousarray(arr).view(np.int32)
         else:
             arr = np.ascontiguousarray(arr)
+        if ndim == 1:
+            arr = arr[:, 0]
         result[k] = arr
     return result
