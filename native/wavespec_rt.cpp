@@ -186,10 +186,14 @@ class JobPool {
     cv_.notify_all();
     for (auto& t : threads_) t.join();
     threads_.clear();
-    std::lock_guard<std::mutex> lk(mu_);
-    for (auto& kv : jobs_) delete kv.second;
-    jobs_.clear();
-    queue_.clear();
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      for (auto& kv : jobs_) delete kv.second;
+      jobs_.clear();
+      queue_.clear();
+    }
+    // wake free_job waiters so they observe the reaped map / !running_
+    done_cv_.notify_all();
   }
 
   int32_t submit(ws_job_fn fn, void* user, int32_t* id_out) {
@@ -218,19 +222,28 @@ class JobPool {
   }
 
   int32_t free_job(int32_t id) {
+    // Blocks until the job has executed so we never free a running
+    // job's state. The wait is on a condition variable (not a spin),
+    // and the map is re-looked-up by id after EVERY wakeup: while mu_
+    // is released inside wait(), a concurrent submit() may rehash the
+    // map (invalidating iterators) or shutdown() may delete the Job —
+    // a pre-wait iterator/pointer must never be reused.
     std::unique_lock<std::mutex> lk(mu_);
-    auto it = jobs_.find(id);
-    if (it == jobs_.end()) return WS_BAD_ARGS;
-    // block until executed so we never free a running job's state
-    Job* job = it->second;
-    while (!job->done.load()) {
-      lk.unlock();
-      std::this_thread::yield();
-      lk.lock();
+    for (;;) {
+      auto it = jobs_.find(id);
+      if (it == jobs_.end()) return WS_BAD_ARGS;  // unknown or reaped
+      Job* job = it->second;
+      if (job->done.load()) {
+        jobs_.erase(it);
+        delete job;
+        return WS_OK;
+      }
+      // Not done yet: wait. Even during shutdown the workers DRAIN the
+      // queue before exiting (a popped job may be mid-execution right
+      // now), so completion — or shutdown's final reap, which makes the
+      // lookup above fail — is guaranteed to wake us.
+      done_cv_.wait(lk);
     }
-    jobs_.erase(it);
-    delete job;
-    return WS_OK;
   }
 
   int32_t pending() {
@@ -258,11 +271,17 @@ class JobPool {
       }
       job->fn(job->user);
       job->done.store(true);
+      // Acquire/release mu_ before notifying so a free_job waiter that
+      // checked done==false cannot miss the wakeup (it holds mu_ until
+      // it is inside wait()).
+      { std::lock_guard<std::mutex> lk(mu_); }
+      done_cv_.notify_all();
     }
   }
 
   std::mutex mu_;
-  std::condition_variable cv_;
+  std::condition_variable cv_;       // queue wakeups (workers)
+  std::condition_variable done_cv_;  // per-job completion (free_job waiters)
   std::vector<std::thread> threads_;
   std::deque<int32_t> queue_;
   std::unordered_map<int32_t, Job*> jobs_;

@@ -133,3 +133,24 @@ def test_hud_tracks_last_call():
     assert bridge.get_hud().last_call == "gpu_fft_real_forward"
     bridge.gpu_extract_cycles(planted(), top_k=1, method=0, min_period=10)
     assert "extract" in bridge.get_hud().render()
+
+
+def test_async_fft_matches_sync_for_any_length():
+    """Async/sync parity: gpu_submit_fft_real_forward must accept the
+    same inputs as gpu_fft_real_forward — including non-power-of-two and
+    short lengths, which route through the jnp.fft oracle."""
+    import time as _t
+
+    for n in (1000, 12, 4096):
+        x = np.sin(np.arange(n) / 7.0)
+        sync = bridge.gpu_fft_real_forward(x)
+        job = bridge.gpu_submit_fft_real_forward(x)
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            ready, out = bridge.gpu_try_get_result(job)
+            if ready:
+                break
+            _t.sleep(0.005)
+        assert ready, n
+        bridge.gpu_free_job(job)
+        np.testing.assert_allclose(out, sync, rtol=1e-5, atol=1e-5)

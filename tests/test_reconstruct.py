@@ -161,3 +161,39 @@ def test_project_forward():
     omega = 2 * np.pi / 64.0
     want = w * np.sin(0.5 + omega * np.arange(1, 27))
     np.testing.assert_allclose(proj[0, :, 0], want, rtol=1e-5, atol=1e-6)
+
+
+def test_forecast_marker_unfloored_weight_and_points_mode():
+    """The forecast marker uses the UN-floored weight_total and only
+    applies sin() in DRAW_SINE mode with period>0 (`1.1.0:1548-1552`) —
+    a cycle whose wave value the coherence/score floors zeroed still
+    plots a nonzero marker, and POINTS mode plots amp*weight flat."""
+    a = np.zeros((1, 1, 15), np.float32)
+    a[0, 0, ex.AMPLITUDE] = 2.0
+    a[0, 0, ex.FREQ] = 1.0 / 50.0
+    a[0, 0, ex.PERIOD] = 50.0
+    a[0, 0, ex.PHASE] = 0.7
+    a[0, 0, ex.ETA_BARS] = 10.0
+    a[0, 0, ex.ETA_CONFIDENCE] = 1.0
+    a[0, 0, ex.ENERGY_RATIO] = 0.5
+    a[0, 0, ex.COHERENCE] = 0.01   # below min_coherence=0.05 -> floor fails
+    a[0, 0, ex.SCORE] = 0.5
+    a[0, 0, ex.SNR_DB] = 10.0
+    a[0, 0, ex.METHOD_ID] = 1.0
+    cfg = ReconstructConfig(max_waves=1)
+    dec = decode_causal(jnp.asarray(a), cfg)
+    # wave is floored to zero...
+    assert float(dec["wave"][0, 0]) == 0.0
+    # ...but the marker survives with the raw weight_total
+    w_snr = 1.0 / (1.0 + 10.0 ** (-10.0 / 10.0))
+    w_raw = 0.5 * 0.01 * 0.5 * w_snr
+    want = 2.0 * w_raw * np.sin(0.7)
+    np.testing.assert_allclose(float(dec["forecast_value"][0, 0]), want, rtol=1e-5)
+    assert bool(dec["forecast_valid"][0, 0])
+
+    # POINTS mode: flat amp*weight, no sin — for both wave and marker
+    cfg_pts = ReconstructConfig(max_waves=1, draw_sine=False,
+                                min_coherence=0.0)
+    dec_pts = decode_causal(jnp.asarray(a), cfg_pts)
+    np.testing.assert_allclose(float(dec_pts["wave"][0, 0]), 2.0 * w_raw, rtol=1e-5)
+    np.testing.assert_allclose(float(dec_pts["forecast_value"][0, 0]), 2.0 * w_raw, rtol=1e-5)

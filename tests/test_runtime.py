@@ -195,3 +195,63 @@ def test_concurrent_async_jobs():
         np.testing.assert_allclose(np.asarray(res), float(i))
         q.free(jid)
     assert q.pending() == 0
+
+
+def test_cycle_cache_truncated_raises(tmp_path, monkeypatch):
+    """A file whose header claims more bars than the payload holds must
+    raise (matching the native loader's 'cycle cache truncated'), in BOTH
+    the native and the NumPy-fallback paths — a silent short read would
+    render incomplete buffers through the cache short-circuit."""
+    p = tmp_path / "trunc.bin"
+    # header says 10 bars; payload holds only 3 rows
+    p.write_bytes(np.asarray([1, 10, 2], np.int32).tobytes() + b"\0" * (3 * 160))
+    with pytest.raises(RuntimeError):
+        load_cycle_cache(p)
+    # force the NumPy fallback
+    from wavespec_tpu.runtime import caches as C
+    monkeypatch.setattr(C.native, "load", lambda: None)
+    with pytest.raises(RuntimeError, match="truncated"):
+        load_cycle_cache(p)
+    # sub-header file
+    p2 = tmp_path / "tiny.bin"
+    p2.write_bytes(b"\1\0")
+    with pytest.raises((RuntimeError, FileNotFoundError)):
+        load_cycle_cache(p2)
+
+
+def test_shutdown_with_queued_host_jobs_executes_them():
+    """shutdown() must free pending native jobs (blocking until the pool
+    has run them) BEFORE dropping the ctypes trampoline references — a
+    queued job whose trampoline was garbage-collected would segfault the
+    C worker. Slow jobs queued behind each other exercise the wait."""
+    q = JobQueue(depth=16, host_workers=1)
+    hits = []
+
+    def slow(i):
+        time.sleep(0.05)
+        hits.append(i)
+        return i
+
+    ids = [q.submit_host(slow, i) for i in range(5)]
+    q.shutdown()  # must not crash; blocks until all five ran
+    assert sorted(hits) == [0, 1, 2, 3, 4], hits
+
+
+def test_native_free_waits_for_running_job():
+    """ws_free_job on a not-yet-finished job blocks until it executed
+    (cv wait, id re-lookup) and returns cleanly under submit churn."""
+    q = JobQueue(depth=32, host_workers=1)
+    slow_id = q.submit_host(lambda: time.sleep(0.2) or 7)
+    # churn the job table while the slow job runs (rehash pressure)
+    others = [q.submit_host(lambda k=k: k) for k in range(10)]
+    q.free(slow_id)  # blocks until the slow job has executed
+    for jid in others:
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            ready, _ = q.try_get(jid)
+            if ready:
+                break
+            time.sleep(0.005)
+        assert ready
+        q.free(jid)
+    q.shutdown()

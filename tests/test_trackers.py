@@ -117,3 +117,28 @@ def test_capacity_overflow_drops_extra():
     frames = [[(20.0 + i, 1.0 + i) for i in range(6)]]
     out, state = run(frames, capacity=4)
     assert int(np.asarray(state.alive).sum()) == 4
+
+
+def test_conflict_loser_does_not_spawn_duplicate_tracker():
+    """Two candidates both within tolerance of ONE tracker each frame:
+    the conflict loser must neither update nor allocate (the reference's
+    sequential scan would have it update the SAME tracker), so exactly
+    one tracker stays alive — not a growing family of near-duplicates."""
+    frames = [[(100.0, 5.0)]] + [[(100.0, 5.0), (101.0, 4.0)]] * 6
+    out, state = run(frames)
+    alive = np.asarray(state.alive)
+    assert alive.sum() == 1, np.asarray(state.period)[alive]
+    # the one tracker carries the winning (closest) candidate's period
+    assert abs(np.asarray(state.period)[alive][0] - 100.0) < 1e-6
+
+
+def test_valid_zero_period_candidate_does_not_allocate():
+    """A cand_valid=True row with period 0 (padding) must not allocate —
+    the sequential path's can_alloc has the same period>0 guard."""
+    j = 4
+    periods = jnp.asarray([[100.0, 0.0, 0.0, 0.0]], jnp.float32)
+    powers = jnp.asarray([[5.0, 3.0, 2.0, 1.0]], jnp.float32)
+    fft = jnp.zeros((1, j), jnp.int32)
+    valid = jnp.ones((1, j), bool)
+    _, state = track_frames(periods, powers, fft, valid, cfg=TrackerConfig())
+    assert np.asarray(state.alive).sum() == 1

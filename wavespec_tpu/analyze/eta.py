@@ -237,10 +237,14 @@ def eta_state_machine(
             eta_sec = jnp.where(period > 0, eta_sec, 0.0)
 
             # --- phase-history learning on color change ---
+            # The reference early-returns BEFORE StorePhaseHistory when
+            # this bar's period <= 0 (`...pla-kalman.mq5:3066-3073` vs
+            # the store at `:3132`): color is still written, but no
+            # history entry or estimate-cache update happens on such bars.
             prev_dur = bars_in_phase  # duration of the phase that just ended
             was_bullish = color_prev > 0.5
-            store_bull = color_changed & was_bullish
-            store_bear = color_changed & ~was_bullish
+            store_bull = color_changed & was_bullish & (period > 0)
+            store_bear = color_changed & ~was_bullish & (period > 0)
             bull_hist = jnp.where(
                 store_bull, jnp.concatenate([prev_dur[None], bull_hist[:-1]]), bull_hist
             )

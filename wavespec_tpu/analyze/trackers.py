@@ -118,7 +118,7 @@ def _match_candidates(state: TrackerState, cand_period, cand_valid, cfg):
     winner_j = jnp.argmin(j_cost, axis=0)                                   # [C]
     trk_matched = jnp.min(j_cost, axis=0) < BIG                             # [C]
     cand_won = has_match & (winner_j[best_trk] == jnp.arange(cand_period.shape[0]))
-    return trk_matched, winner_j, cand_won
+    return trk_matched, winner_j, cand_won, has_match
 
 
 def _sequential_match_update(state: TrackerState, frame, cfg: TrackerConfig):
@@ -201,7 +201,7 @@ def tracker_step(state: TrackerState, frame, cfg: TrackerConfig):
             bars_inactive, uid, next_uid,
         )
 
-    trk_matched, winner_j, cand_won = _match_candidates(
+    trk_matched, winner_j, cand_won, cand_matched = _match_candidates(
         state, cand_period, cand_valid, cfg
     )
 
@@ -212,7 +212,13 @@ def tracker_step(state: TrackerState, frame, cfg: TrackerConfig):
     seen = trk_matched
 
     # --- allocate unmatched candidates into dead capacity rows ---
-    unmatched = cand_valid & ~cand_won
+    # A candidate that matched a tracker but LOST the per-tracker conflict
+    # must not allocate: in the reference's sequential scan it would have
+    # updated the same tracker again (two adjacent in-tolerance bins are
+    # common), so spawning a near-duplicate tracker here would diverge
+    # from both the reference and the sequential_match path. The period>0
+    # guard mirrors the sequential path's can_alloc condition.
+    unmatched = cand_valid & ~cand_matched & (cand_period > 0)
     dead = ~state.alive
     # nth unmatched candidate -> nth dead row
     cand_rank = jnp.cumsum(unmatched.astype(jnp.int32)) - 1      # [J]

@@ -93,6 +93,21 @@ def _queue():
 
 # --------------------------------------------------------------- FFT family
 
+def _rfft_bins_any(x: jax.Array) -> jax.Array:
+    """Complex n//2-bin rFFT with the power-of-two routing shared by
+    EVERY bridge FFT entry point (sync, batch, async): MXU DFT for
+    power-of-two lengths >= 16, `ops.rfft_bins` (jnp.fft oracle —
+    CPU-only; the axon TPU runtime has no jnp.fft lowering) otherwise.
+    Keeping the routing here is what makes the async path accept the
+    same inputs as the sync one instead of raising at submit."""
+    n = x.shape[-1]
+    if n & (n - 1) == 0 and n >= 16:
+        return rfft_mxu(x)
+    from wavespec_tpu.ops.spectrum import rfft_bins
+
+    return rfft_bins(x)
+
+
 def gpu_fft_real_forward(series) -> np.ndarray:
     """Interleaved-re/im forward rFFT (`Include/imports.mqh:8`).
 
@@ -129,7 +144,7 @@ def gpu_fft_real_forward_batch(series, window_len: int, n_windows: int) -> np.nd
     window_len] interleaved spectra.
     """
     x = jnp.asarray(series, jnp.float32).reshape(n_windows, window_len)
-    spec = rfft_mxu(x)
+    spec = _rfft_bins_any(x)
     out = jnp.stack([jnp.real(spec), jnp.imag(spec)], axis=-1)
     return np.asarray(out.reshape(n_windows, window_len))
 
@@ -147,9 +162,11 @@ def gpu_wave_fft_segmented(
 
 
 def gpu_submit_fft_real_forward(series) -> int:
-    """Async FFT job (`1.0.4-parallel.mq5:28`)."""
+    """Async FFT job (`1.0.4-parallel.mq5:28`). Same length routing as
+    the sync `gpu_fft_real_forward` (async/sync parity)."""
     return _queue().submit(
-        lambda x: rfft_mxu(jnp.asarray(x, jnp.float32)), np.asarray(series)
+        lambda x: _rfft_bins_any(jnp.asarray(x, jnp.float32)),
+        np.asarray(series),
     )
 
 

@@ -177,7 +177,11 @@ def run_v757(
         jnp.swapaxes(gd_at_slot, 0, 1),
         EtaConfig(mode=cfg.eta_mode, seconds_per_bar=cfg.seconds_per_bar,
                   fft_window=cfg.window,
-                  prior_bars=(cfg.window - 1) // hop),
+                  prior_bars=(cfg.window - 1) // hop,
+                  # The ring must hold a quarter of the LONGEST slot
+                  # period: the default 64 silently clips the lag (and
+                  # therefore the phase-extremum ETA) for periods > ~252.
+                  lag_buffer=max(64, int(cfg.max_period / 4.0) + 2)),
         valid=valid_ts,
     )
     color = jnp.swapaxes(eta["color"], 0, 1)         # [T, S]

@@ -93,8 +93,16 @@ class ReconstructConfig:
     sample_rate_seconds: float = 60.0
 
 
-def quality_weight(attrs: jax.Array, cfg: ReconstructConfig) -> jax.Array:
-    """Per-cycle quality weight over attrs ``[..., 15]`` -> ``[...]``."""
+def quality_weight(attrs: jax.Array, cfg: ReconstructConfig,
+                   floors: bool = True) -> jax.Array:
+    """Per-cycle quality weight over attrs ``[..., 15]`` -> ``[...]``.
+
+    `floors=True` is the wave-buffer weight (`amp_w`, `1.1.0:1517` —
+    zeroed when coherence/score are below their floors); `floors=False`
+    is the raw `weight_total` (`1.1.0:1504-1505`) that the FORECAST
+    marker uses — the reference plots a nonzero marker even for cycles
+    whose wave value the floors zeroed (`1.1.0:1549-1551`).
+    """
     energy = jnp.maximum(attrs[..., ex.ENERGY_RATIO], 0.0)
     coher = jnp.maximum(attrs[..., ex.COHERENCE], 0.0)
     score = jnp.maximum(attrs[..., ex.SCORE], 0.0)
@@ -102,11 +110,13 @@ def quality_weight(attrs: jax.Array, cfg: ReconstructConfig) -> jax.Array:
     w_snr = 1.0 / (1.0 + jnp.power(10.0, -snr_eff / 10.0))
     if not cfg.use_music_weights:
         return jnp.ones_like(energy)
-    w = energy * coher * score * w_snr
+    w = jnp.maximum(energy * coher * score * w_snr, 0.0)
+    if not floors:
+        return w
     floor_fail = (attrs[..., ex.COHERENCE] < cfg.min_coherence) | (
         attrs[..., ex.SCORE] < cfg.min_score
     )
-    return jnp.where(floor_fail, 0.0, jnp.maximum(w, 0.0))
+    return jnp.where(floor_fail, 0.0, w)
 
 
 def _select_slots(attrs: jax.Array, cfg: ReconstructConfig):
@@ -141,12 +151,26 @@ def decode_causal(attrs: jax.Array, cfg: ReconstructConfig = ReconstructConfig()
     w = quality_weight(slot, cfg)
     amp_w = slot[..., ex.AMPLITUDE] * w
     phase = slot[..., ex.PHASE]
-    wave = jnp.where(cfg.draw_sine, amp_w * jnp.sin(phase), amp_w)
+    period_v = slot[..., ex.PERIOD]
+    # Sine rendering requires DRAW_SINE mode AND period > 0
+    # (`1.1.0:1518-1520`); otherwise the flat amp_w is plotted.
+    if cfg.draw_sine:
+        wave = jnp.where(period_v > 0.0, amp_w * jnp.sin(phase), amp_w)
+    else:
+        wave = amp_w
     vz = lambda x: jnp.where(valid, x, 0.0)
 
     eta_bars = slot[..., ex.ETA_BARS]
     eta_conf = slot[..., ex.ETA_CONFIDENCE]
     forecast_ok = valid & (eta_bars > 1.0) & (eta_conf >= cfg.min_eta_conf)
+    # Marker value: the UN-floored weight_total (`1.1.0:1549-1551`), and
+    # sine only in DRAW_SINE mode with period > 0 — not amp_w.
+    amp_marker = slot[..., ex.AMPLITUDE] * quality_weight(slot, cfg, floors=False)
+    if cfg.draw_sine:
+        forecast_val = jnp.where(
+            period_v > 0.0, amp_marker * jnp.sin(phase), amp_marker)
+    else:
+        forecast_val = amp_marker
     # Per-slot bull/bear color flag: the template job returns wave_colors
     # consumed as `(flag > 0.5) ? BULL : BEAR` (`gpu_wip.mq5:675-679`).
     # A cycle A*sin(phase) is rising at the newest bar iff cos(phase) > 0.
@@ -165,7 +189,7 @@ def decode_causal(attrs: jax.Array, cfg: ReconstructConfig = ReconstructConfig()
         "score": vz(slot[..., ex.SCORE]),
         "eigen_ratio": vz(slot[..., ex.EIGEN_RATIO]),
         "eta_conf": vz(eta_conf),
-        "forecast_value": jnp.where(forecast_ok, amp_w * jnp.sin(phase), 0.0),
+        "forecast_value": jnp.where(forecast_ok, forecast_val, 0.0),
         "forecast_offset": jnp.where(forecast_ok, jnp.round(eta_bars), 0.0),
         "forecast_valid": forecast_ok,
         "slot_valid": valid,
@@ -194,6 +218,8 @@ def render_final(
     slot, valid = _select_slots(attrs, cfg)
     w = quality_weight(slot, cfg)
     amp_w = slot[..., ex.AMPLITUDE] * w  # [nwin, s]
+    # Forecast markers use the UN-floored weight (`1.1.0:1549-1551`).
+    amp_marker = slot[..., ex.AMPLITUDE] * quality_weight(slot, cfg, floors=False)
     omega = 2.0 * jnp.pi * slot[..., ex.FREQ]
     phase = slot[..., ex.PHASE]
     eta_bars = slot[..., ex.ETA_BARS]
@@ -216,13 +242,18 @@ def render_final(
     ks = jnp.arange(span, -1, -1, dtype=jnp.float32)  # [span+1] k desc -> bars asc
 
     def step(bufs, xs):
-        (w_amp, w_omega, w_phase, w_eta_sec, w_period, w_span, w_valid,
-         w_eta_bars, w_eta_conf, bar_end) = xs
+        (w_amp, w_amp_marker, w_omega, w_phase, w_eta_sec, w_period, w_span,
+         w_valid, w_eta_bars, w_eta_conf, bar_end) = xs
         start = jnp.maximum(bar_end - span, 0)
         kk = (bar_end - start) - jnp.arange(span + 1, dtype=jnp.int32)
         kkf = kk.astype(jnp.float32)
         theta = w_phase[None, :] - w_omega[None, :] * kkf[:, None]  # [span+1, s]
-        val = jnp.where(cfg.draw_sine, w_amp[None, :] * jnp.sin(theta), w_amp[None, :])
+        # Sine rendering requires DRAW_SINE AND period > 0 (`1.1.0:1518`).
+        if cfg.draw_sine:
+            val = jnp.where(w_period[None, :] > 0.0,
+                            w_amp[None, :] * jnp.sin(theta), w_amp[None, :])
+        else:
+            val = jnp.broadcast_to(w_amp[None, :], theta.shape)
         cover = (kkf[:, None] <= w_span[None, :]) & (kk[:, None] >= 0) & w_valid[None, :]
         countdown = jnp.maximum(
             w_eta_sec[None, :] - kkf[:, None] * cfg.sample_rate_seconds, 0.0
@@ -244,7 +275,11 @@ def render_final(
         # clamp and mask).
         f_ok = w_valid & (w_eta_bars > 1.0) & (w_eta_conf >= cfg.min_eta_conf)
         f_bar = bar_end + jnp.round(w_eta_bars).astype(jnp.int32)
-        f_val = w_amp * jnp.sin(w_phase)
+        if cfg.draw_sine:
+            f_val = jnp.where(w_period > 0.0,
+                              w_amp_marker * jnp.sin(w_phase), w_amp_marker)
+        else:
+            f_val = w_amp_marker
         in_range = f_ok & (f_bar < n_bars)
         f_bar_c = jnp.clip(f_bar, 0, n_bars - 1)
         cur = bufs["forecast"][f_bar_c, jnp.arange(s)]
@@ -255,7 +290,7 @@ def render_final(
 
     bar_ends = jnp.arange(nwin, dtype=jnp.int32) * hop + (window - 1)
     eta_conf = slot[..., ex.ETA_CONFIDENCE]
-    xs = (amp_w, omega, phase, eta_sec, period, span_w, valid, eta_bars,
-          eta_conf, bar_ends)
+    xs = (amp_w, amp_marker, omega, phase, eta_sec, period, span_w, valid,
+          eta_bars, eta_conf, bar_ends)
     bufs, _ = jax.lax.scan(step, init, xs)
     return bufs

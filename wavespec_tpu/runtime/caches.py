@@ -179,10 +179,19 @@ def load_cycle_cache(path: str | Path, max_bars: int | None = None) -> dict[str,
     if not path.exists():
         raise FileNotFoundError(path)
     lib = native.load()
+    file_bytes = path.stat().st_size
     if lib is not None:
         hdr = np.fromfile(path, np.int32, 3)
+        if hdr.shape[0] < 3:
+            raise RuntimeError(f"cycle cache truncated: {path}")
         bars_in = int(hdr[1])
         cap = bars_in if max_bars is None else min(bars_in, max_bars)
+        # Validate the payload BEFORE allocating: this both rejects
+        # truncated files up front (the native loader would read a
+        # silent prefix when cap < header bars) and keeps a corrupt
+        # header from demanding a multi-GB buffer.
+        if file_bytes < 12 + cap * 160:
+            raise RuntimeError(f"cycle cache truncated: {path}")
         out = np.empty((max(cap, 1), 20), np.float64)
         bars = ctypes.c_int32(0)
         topk = ctypes.c_int32(0)
@@ -197,10 +206,17 @@ def load_cycle_cache(path: str | Path, max_bars: int | None = None) -> dict[str,
         table = out[: bars.value]
     else:
         raw = path.read_bytes()
+        if len(raw) < 12:
+            raise RuntimeError(f"cycle cache truncated: {path}")
         version, bars_in, topk = np.frombuffer(raw[:12], np.int32)
         if version != 1 or not 1 <= topk <= 2:
             raise RuntimeError(f"bad cycle cache header in {path}")
         cap = bars_in if max_bars is None else min(bars_in, max_bars)
+        if len(raw) < 12 + cap * 160:
+            # Same contract as the native loader's WS_INTERNAL_ERROR —
+            # a silent short read here would render incomplete buffers
+            # through the cache short-circuit (`1.1.0:991-995`).
+            raise RuntimeError(f"cycle cache truncated: {path}")
         table = np.frombuffer(raw[12 : 12 + cap * 160], np.float64).reshape(-1, 20)
     result: dict[str, np.ndarray] = {}
     for fi, field in enumerate(CYCLE_FIELDS):

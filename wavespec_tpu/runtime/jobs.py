@@ -160,6 +160,17 @@ class JobQueue:
         if self._host_pool is not None:
             self._host_pool.shutdown(wait=True)
         with self._lock:
+            refs = list(self._native_refs.values())
+        if self._native is not None:
+            for nid, _keepalive in refs:
+                # ws_free_job BLOCKS until the pool has executed the job
+                # (workers drain the queue), so the ctypes trampoline in
+                # _keepalive stays referenced for as long as C code can
+                # still call it — clearing the refs first would let GC
+                # free the trampoline under a queued job (segfault), and
+                # never freeing would leak the pool's Job entries.
+                self._native.ws_free_job(nid)
+        with self._lock:
             self._jobs.clear()
             self._native_refs.clear()
             self._native_results.clear()
