@@ -27,3 +27,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _bounded_compile_cache(request):
+    """Clear XLA executables at every test-MODULE boundary.
+
+    With the whole suite's compiled programs accumulated in one process,
+    the XLA CPU compiler segfaults non-deterministically inside
+    backend_compile (reproduced twice at different tests — whichever
+    module happens to push total compilation state past the cliff; 3-4 GB
+    RSS, not OOM). Per-module cache clears bound that state; the cost is
+    re-compiling the handful of small programs shared across modules.
+    """
+    mod = request.node.nodeid.split("::", 1)[0]
+    if _last_module[0] is not None and mod != _last_module[0]:
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield

@@ -214,3 +214,19 @@ def test_feed_pool_lru_and_versioning():
     assert pool.active_timeframes() == ["M5", "H1"]
     pool.get_zigzag_feed("EURUSD", "M1", fetch_for("M1"), ZigMode.MID, version=1)
     assert calls == ["M1", "M1", "M5", "H1", "M1"]
+
+
+def test_zigzag_deviation_has_effect():
+    """deviation_points must actually filter markings (an earlier cut
+    required the current bar to BE the window extreme, which made the
+    deviation test a tautology — any setting produced identical output)."""
+    rng = np.random.default_rng(9)
+    n = 400
+    base = np.cumsum(rng.standard_normal(n)) * 0.0003 + 1.2
+    high = base + 0.0002 + 0.0002 * rng.random(n)
+    low = base - 0.0002 - 0.0002 * rng.random(n)
+    tight = zigzag_extrema(high, low, ZigZagConfig(deviation_points=0))
+    loose = zigzag_extrema(high, low, ZigZagConfig(deviation_points=40))
+    n_tight = (tight[0] != 0).sum() + (tight[1] != 0).sum()
+    n_loose = (loose[0] != 0).sum() + (loose[1] != 0).sum()
+    assert n_tight != n_loose, (n_tight, n_loose)

@@ -311,3 +311,24 @@ def test_fetcher_long_history_chunked(tmp_path):
     per = bufs["period1"][5000:]
     per = per[per > 0]
     assert np.abs(np.median(per) - 1024 / round(1024 / 80)) < 2.0
+
+
+def test_chunked_batch_matches_unchunked_music_on_random_walk():
+    """MUSIC's batch fast path runs its preconditioning high-passes over
+    the UNFRAMED series; without the warmup lead, chunks 2+ restarted
+    the IIR cold and the first windows of every chunk diverged from the
+    unchunked result on a drifting feed. Core attr fields (amp, freq,
+    period, phase) must match to float noise."""
+    from wavespec_tpu.pipeline import extract_cycles_batch_chunked
+    from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles_batch
+
+    ecfg = ExtractConfig(window=512, top_k=2, min_period=10.0,
+                         max_period=100.0, method=Method.MUSIC, ar_order=10)
+    rng = np.random.default_rng(21)
+    t = np.arange(512 + 1200)
+    x = (np.cumsum(0.05 * rng.standard_normal(len(t)))
+         + 2.0 * np.sin(2 * np.pi * t / 48)).astype(np.float32)
+    want = np.asarray(extract_cycles_batch(jnp.asarray(x), ecfg, hop=4))
+    got = extract_cycles_batch_chunked(x, ecfg, hop=4, chunk_windows=64)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got[..., :4], want[..., :4], rtol=1e-3, atol=1e-3)

@@ -3,28 +3,10 @@
 pipeline at test-scale bar counts."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
-import pytest
 
 from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles
 from wavespec_tpu.pipeline.v757 import V757Config, run_v757
-
-
-@pytest.fixture(scope="module", autouse=True)
-def _fresh_compile_cache():
-    """Compile the 16384-scale programs from a clean cache.
-
-    With the full suite's accumulated compilation state in-process, the
-    XLA CPU compiler segfaults (reproducibly, in backend_compile of the
-    biquad associative scan at this window size — 3.7 GB RSS, not OOM);
-    the same programs compile fine from a fresh cache, and the module
-    passes standalone. Clearing before AND after keeps this module's
-    large executables from poisoning later modules either.
-    """
-    jax.clear_caches()
-    yield
-    jax.clear_caches()
 
 
 def test_music_extract_window_16384_recovers_planted():

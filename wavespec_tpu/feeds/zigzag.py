@@ -13,9 +13,10 @@ three modes (`ZigZagFeed::BuildFeed`, `1.1.0:398-451`):
 
 MT5's indicator is not available here, so `zigzag_extrema` implements the
 classic depth/deviation/backstep algorithm (alternating swing highs/lows:
-a candidate extremum must be the depth-bar extreme, exceed the previous
-opposite extremum by `deviation` points, and supersede weaker same-side
-extrema within `backstep` bars). Feed construction is exact per the
+the depth-window extreme is recorded at the current bar when that bar's
+own low/high sits within `deviation` points of it, and it supersedes
+weaker same-side extrema within `backstep` bars). Feed construction is
+exact per the
 reference's decode. Host-side NumPy by design: feed building is data
 preparation (L1), not device compute — the arrays then feed the jitted
 extraction pipeline.
@@ -61,7 +62,12 @@ def zigzag_extrema(high: np.ndarray, low: np.ndarray, cfg: ZigZagConfig = ZigZag
         return peaks, bottoms
     dev = cfg.deviation_points * cfg.point
 
-    # candidate maps: bar is the depth-window extreme
+    # Candidate maps, MT5 ZigZag flow: the depth-window extreme `val` is
+    # recorded AT THE CURRENT BAR when (a) it differs from the last
+    # recorded window extreme and (b) the current bar's own low/high is
+    # within `deviation` of it. An earlier cut required the current bar
+    # to BE the window extreme, which made the deviation test a tautology
+    # (low[i] - lo was always 0) — deviation_points had no effect at all.
     high_map = np.zeros(n)
     low_map = np.zeros(n)
     last_high = 0.0
@@ -69,7 +75,7 @@ def zigzag_extrema(high: np.ndarray, low: np.ndarray, cfg: ZigZagConfig = ZigZag
     for i in range(cfg.depth, n):
         w0 = i - cfg.depth + 1
         lo = low[w0 : i + 1].min()
-        if low[i] == lo and (last_low == 0.0 or abs(lo - last_low) > 1e-15):
+        if last_low == 0.0 or abs(lo - last_low) > 1e-15:
             last_low = lo
             if not (low[i] - lo > dev):
                 for back in range(1, cfg.backstep + 1):
@@ -78,7 +84,7 @@ def zigzag_extrema(high: np.ndarray, low: np.ndarray, cfg: ZigZagConfig = ZigZag
                         low_map[j] = 0.0
                 low_map[i] = lo
         hi = high[w0 : i + 1].max()
-        if high[i] == hi and (last_high == 0.0 or abs(hi - last_high) > 1e-15):
+        if last_high == 0.0 or abs(hi - last_high) > 1e-15:
             last_high = hi
             if not (hi - high[i] > dev):
                 for back in range(1, cfg.backstep + 1):

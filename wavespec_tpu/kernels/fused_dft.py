@@ -105,7 +105,7 @@ def _kernel(xt_ref, f1r_ref, f1i_ref, ur_ref, ui_ref, f2r_ref, f2i_ref,
 def rfft_band_fused(
     windows: jax.Array,
     max_bins: int,
-    tile: int = 256,
+    tile: int = 64,
     interpret: bool = False,
 ):
     """Band-limited rFFT of pre-framed windows ``[B, n]`` via one fused
@@ -171,6 +171,22 @@ def rfft_band_fused_any(
     result is a drop-in for `rfft_mxu(x, max_bins=max_bins)[..., :max_bins]`.
     """
     n = windows.shape[-1]
+    # Like rfft_mxu, a real window has only n/2 distinct bins — clamp so
+    # max_bins past Nyquist returns n/2 columns instead of crashing the
+    # reshape below.
+    max_bins = min(max_bins, n // 2)
+    # The fused kernel is for NARROW bands (the production extractor's
+    # k_max+3 at flagship configs gives n_k2 <= 4 k2-planes). Wide-band
+    # requests blow past the kernel's lowered/VMEM envelope — measured on
+    # the v5e: n_k2=16 (max_bins near n/2 at n=4096) fails to lower
+    # (Mosaic UNIMPLEMENTED) — so anything wider routes to the XLA
+    # four-step, which is within 2x of the kernel anyway and handles
+    # every shape.
+    n_k2 = -(-max_bins // N1)
+    if n_k2 > 4:
+        from wavespec_tpu.kernels.mxu_fft import rfft_mxu
+
+        return rfft_mxu(windows, max_bins=max_bins)[..., :max_bins]
     lead = windows.shape[:-1]
     x = windows.reshape(-1, n)
     b = x.shape[0]

@@ -67,12 +67,20 @@ def extract_batch_sharded(
     """
 
     def local(block):  # [s_local, t]
-        return jax.vmap(lambda s: extract_cycles_batch(s, cfg, hop=hop))(block)
+        return _extract_local(block, cfg, hop)
 
     shard = jax.shard_map(
         local, mesh=mesh, in_specs=P(axis, None), out_specs=P(axis, None, None, None)
     )
     return shard(series_batch)
+
+
+@partial(jax.jit, static_argnames=("cfg", "hop"))
+def _extract_local(block, cfg: ExtractConfig, hop: int):
+    # Jitted so repeat calls to extract_batch_sharded re-trace only the
+    # thin shard wrapper, not the whole vmapped extraction pipeline
+    # (tracing the full jaxpr per call costs seconds of host time).
+    return jax.vmap(lambda s: extract_cycles_batch(s, cfg, hop=hop))(block)
 
 
 @partial(jax.jit, static_argnames=("ecfg", "rcfg", "hop"))

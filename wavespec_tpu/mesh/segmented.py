@@ -38,6 +38,12 @@ def num_segments(n: int, segment_len: int, overlap: int) -> int:
     hop = segment_len - overlap
     if hop <= 0:
         raise ValueError(f"overlap {overlap} must be < segment_len {segment_len}")
+    if n < segment_len:
+        # floor division would yield <= 0 segments and a silent all-NaN
+        # mean downstream
+        raise ValueError(
+            f"series length {n} shorter than segment_len {segment_len}"
+        )
     return 1 + (n - segment_len) // hop
 
 

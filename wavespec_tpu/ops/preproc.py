@@ -66,6 +66,10 @@ def resample(
     x = series.astype(jnp.float32)
     n = x.shape[-1]
     if method == 0:
+        # An even tap count would make the VALID conv output n+1 samples
+        # (pad = taps//2 on both sides) and break the reshape back to n;
+        # widen to the next odd count (same cutoff, symmetric kernel).
+        taps = taps | 1
         k = jnp.asarray(_sinc_lowpass_kernel(cutoff, taps))
         pad = taps // 2
         xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
@@ -154,7 +158,7 @@ def build_band_mask(
     if zigzag_bins is not None:
         i = jnp.arange(bins)[None, :]
         centers = jnp.asarray(zigzag_bins).astype(jnp.int32)[:, None]
-        hit = (jnp.abs(i - centers) <= max(1, zigzag_width)).any(axis=0)
+        hit = (jnp.abs(i - centers) <= max(0, zigzag_width)).any(axis=0)
         blend = min(1.0, max(0.0, zigzag_blend))
         mask = (1.0 - blend) * mask + blend * hit.astype(dtype)
     return mask

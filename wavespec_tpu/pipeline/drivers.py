@@ -45,28 +45,45 @@ def extract_cycles_batch_chunked(
     to 500k bars at hop=1 (`WaveCyclesBatchFetcher.mq5:36`), where that
     matrix would be terabytes. This driver slices the series into
     overlapping spans of `chunk_windows` windows (each chunk reuses ONE
-    compiled program) and concatenates the attrs; results are identical
-    to the unchunked call (windows are independent).
+    compiled program) and concatenates the attrs.
+
+    Chunks carry a WARMUP margin of extra leading bars: the MUSIC batch
+    path runs its preconditioning high-passes over the unframed series
+    (`extract.py` batch fast path), and an IIR restarted cold at a chunk
+    boundary would make the first windows of chunks 2+ differ from the
+    unchunked result. The Ehlers pole decays like exp(-2*pi*k/period),
+    so 3x the high-pass period leaves < 1e-8 of the transient; the
+    warmup windows are computed and discarded. (FFT-ridge preconditions
+    per window, where chunking is exact regardless.)
     """
+    from wavespec_tpu.analyze.music import music_hp_period
+
     series = np.asarray(series, np.float32)
     n = len(series)
     w = ecfg.window
     nwin = 1 + (n - w) // hop
     if nwin <= chunk_windows:
         return np.asarray(extract_cycles_batch(jnp.asarray(series), ecfg, hop=hop))
+    warm_bars = 3 * music_hp_period(ecfg)
+    warm_windows = -(-warm_bars // hop)  # ceil: discarded per chunk
     parts = []
     for w0 in range(0, nwin, chunk_windows):
         w1 = min(w0 + chunk_windows, nwin)
-        start = w0 * hop
+        lead = 0 if w0 == 0 else min(warm_windows, w0)
+        start = (w0 - lead) * hop
         stop = (w1 - 1) * hop + w
         span = series[start:stop]
-        # pad the tail span so every chunk reuses the same compiled shape
-        want_len = (chunk_windows - 1) * hop + w
+        # Two compiled shapes total: the leadless first chunk (cold start
+        # IS the unchunked behavior there) and the full-lead shape for
+        # every later chunk; the tail span is zero-padded to the shared
+        # shape and its pad windows discarded.
+        lead_shape = 0 if w0 == 0 else warm_windows
+        want_len = (lead_shape + chunk_windows - 1) * hop + w
         n_real = w1 - w0
         if len(span) < want_len:
             span = np.pad(span, (0, want_len - len(span)))
         out = np.asarray(extract_cycles_batch(jnp.asarray(span), ecfg, hop=hop))
-        parts.append(out[:n_real])
+        parts.append(out[lead : lead + n_real])
     return np.concatenate(parts, axis=0)
 
 
@@ -189,7 +206,16 @@ class OnlineDriver:
 
     prev_calculated: int = 0
     _wave: np.ndarray | None = None
-    _attrs_rows: list | None = None
+
+    def _init_buffers(self) -> None:
+        slots = self.rcfg.max_waves
+        self._wave = np.zeros((0, slots), np.float32)
+        self._period = np.zeros((0, slots), np.float32)
+        self._eta = np.zeros((0, slots), np.float32)
+        self._phase = np.zeros((0, slots), np.float32)
+        self._aux = {f: np.zeros((0, slots), np.float32)
+                     for f in ("energy", "coherence", "snr_db", "score",
+                               "eigen_ratio", "eta_conf")}
 
     def update(self, series: np.ndarray) -> dict[str, np.ndarray]:
         """Process up to `history_chunk` new bars; returns current buffers.
@@ -202,13 +228,7 @@ class OnlineDriver:
         w = self.ecfg.window
         slots = self.rcfg.max_waves
         if self._wave is None:
-            self._wave = np.zeros((0, slots), np.float32)
-            self._period = np.zeros((0, slots), np.float32)
-            self._eta = np.zeros((0, slots), np.float32)
-            self._phase = np.zeros((0, slots), np.float32)
-            self._aux = {f: np.zeros((0, slots), np.float32)
-                         for f in ("energy", "coherence", "snr_db", "score",
-                                   "eigen_ratio", "eta_conf")}
+            self._init_buffers()
 
         first_needed = max(self.prev_calculated, w - 1)
         if self.prev_calculated == 0 and self.backfill_windows:
@@ -264,6 +284,8 @@ class OnlineDriver:
         return self.buffers()
 
     def buffers(self) -> dict[str, np.ndarray]:
+        if self._wave is None:  # polled before any update(): empty state
+            self._init_buffers()
         out = {
             "wave": self._wave,
             "period": self._period,

@@ -46,7 +46,9 @@ class Session:
             if self._init_fail_count % 50 == 1:  # throttle like `1.1.0:736-748`
                 log.warning("[wavespec][GPU] init failed: %s", exc)
             return Status.BACKEND_UNAVAILABLE
-        if device_index >= len(devices):
+        if not 0 <= device_index < len(devices):
+            # negative indices would silently bind via Python indexing —
+            # the gpu_init contract is BAD_ARGS, never a substitute device
             self.last_error = (
                 f"device_index {device_index} out of range ({len(devices)} devices)"
             )
