@@ -327,3 +327,47 @@ def test_nearest_merged_idx_matches_bruteforce():
     np.testing.assert_allclose(
         np.abs(f_np[got] - probe), np.abs(f_np[brute] - probe), atol=1e-9
     )
+
+
+def test_music_single_window_price_level():
+    """Single-window MUSIC on a realistic PRICE-LEVEL input: the internal
+    high-pass is cold-started per window, and its init transient used to
+    scale with the absolute level (~100), drowning real cycles and
+    emitting spurious low-frequency picks. First-sample anchoring zeroes
+    the init step; both planted cycles must be recovered."""
+    cfg = ExtractConfig(window=1024, top_k=4, min_period=9.0,
+                        max_period=200.0, method=Method.MUSIC, ar_order=10)
+    t = np.arange(1024)
+    x = (100.0 + np.sin(2 * np.pi * t / 20.0)
+         + 0.8 * np.sin(2 * np.pi * t / 120.0)
+         + 0.05 * np.random.default_rng(2).standard_normal(1024)
+         ).astype(np.float32)
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    per = attrs[attrs[:, AMPLITUDE] > 0.1][:, PERIOD]
+    assert any(abs(p - 20.0) / 20.0 < 0.03 for p in per), per
+    assert any(abs(p - 120.0) / 120.0 < 0.05 for p in per), per
+
+
+def test_esprit_topk_exceeding_true_count():
+    """ESPRIT with top_k above the true sinusoid count: the rotation
+    operator then has UNPAIRED REAL eigenvalues, which shifted the old
+    sort-adjacency conjugate fold by one — every estimate destroyed and a
+    phantom mid-band frequency (the average of the two true ones)
+    emitted. Positive-angle selection must recover both true frequencies
+    and no phantom near their average."""
+    from wavespec_tpu.analyze.esprit import (
+        esprit_frequencies, esprit_frequencies_host)
+
+    cfg = ExtractConfig(window=1024, top_k=4, min_period=9.0,
+                        max_period=200.0, method=Method.MUSIC, ar_order=12)
+    t = np.arange(1024)
+    x = (np.sin(2 * np.pi * t / 20.0) + np.sin(2 * np.pi * t / 50.0)
+         + 0.01 * np.random.default_rng(3).standard_normal(1024)
+         ).astype(np.float32)
+    for fn in (esprit_frequencies, esprit_frequencies_host):
+        f = np.asarray(fn(jnp.asarray(x), cfg))
+        f = f[f > 0]
+        assert any(abs(v - 1 / 20.0) / (1 / 20.0) < 0.02 for v in f), (fn, f)
+        assert any(abs(v - 1 / 50.0) / (1 / 50.0) < 0.02 for v in f), (fn, f)
+        mid = 0.5 * (1 / 20.0 + 1 / 50.0)
+        assert not any(abs(v - mid) / mid < 0.05 for v in f), (fn, f)

@@ -12,7 +12,9 @@ estimator as an alternative/cross-check, FULLY ON DEVICE:
    batched Jacobi eigh (no LAPACK lowering needed);
 3. eigenvalues of Psi (near e^{+-i w D}, D = covariance decimation) via
    `analyze.eig_small` (Faddeev-LeVerrier characteristic polynomial +
-   Durand-Kerner roots — pure JAX); frequencies = |angle(eig)| / (2 pi D).
+   Durand-Kerner roots — pure JAX); one frequency per conjugate pair via
+   positive-angle selection ranked by unit-circle proximity
+   (`_select_frequencies`).
 
 `esprit_frequencies` is jittable end to end; `esprit_frequencies_host`
 keeps the original NumPy `eigvals` path as a cross-check oracle (tests
@@ -65,14 +67,31 @@ def _signal_subspace_rotation(windows: jax.Array, cfg):
     return psi, d
 
 
-def _fold_frequencies(lam_angle_abs: jax.Array, d: int, cfg):
-    """Pair (+w, -w) conjugate folds and band-gate, shared device/host."""
-    freq = lam_angle_abs / (2.0 * jnp.pi * d)
-    freq_sorted = jnp.sort(freq, axis=-1)
-    paired = 0.5 * (freq_sorted[..., 0::2] + freq_sorted[..., 1::2])
-    paired = paired[..., : cfg.top_k]
+def _select_frequencies(lam: jax.Array, d: int, cfg):
+    """One frequency per conjugate pair, shared device/host.
+
+    Keep eigenvalues with angle in (eps, pi - eps): each real sinusoid
+    contributes exactly ONE such (+w) root, so conjugate partners never
+    double-count and UNPAIRED REAL eigenvalues (angle 0 or pi — common
+    when top_k exceeds the true sinusoid count) never enter. The
+    previous fold sorted all |angles| and averaged fixed adjacent pairs,
+    and a single real eigenvalue shifted that adjacency by one —
+    destroying every estimate and emitting phantom mid-band frequencies
+    (e.g. the average of two true frequencies). Candidates are ranked by
+    closeness of |lam| to the unit circle (signal roots lie on it, noise
+    roots inside), top_k taken, then band-gated; slots with no valid
+    candidate return 0.
+    """
+    ang = jnp.arctan2(jnp.imag(lam), jnp.real(lam))
+    mod = jnp.abs(lam)
+    eps = 1e-5
+    ok = (ang > eps) & (ang < jnp.pi - eps)
+    score = jnp.where(ok, -jnp.abs(mod - 1.0), -jnp.inf)
+    top_score, idx = jax.lax.top_k(score, cfg.top_k)
+    freq = jnp.take_along_axis(ang, idx, axis=-1) / (2.0 * jnp.pi * d)
+    valid = jnp.isfinite(top_score)
     lo, hi = 1.0 / cfg.max_period, 1.0 / cfg.min_period
-    return jnp.where((paired >= lo) & (paired <= hi), paired, 0.0)
+    return jnp.where(valid & (freq >= lo) & (freq <= hi), freq, 0.0)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -86,8 +105,7 @@ def esprit_frequencies(windows: jax.Array, cfg) -> jax.Array:
     """
     psi, d = _signal_subspace_rotation(jnp.asarray(windows), cfg)
     lam = eigvals_small(psi)                 # complex [..., p]
-    ang = jnp.abs(jnp.arctan2(jnp.imag(lam), jnp.real(lam)))
-    return _fold_frequencies(ang, d, cfg)
+    return _select_frequencies(lam, d, cfg)
 
 
 def esprit_frequencies_host(windows: np.ndarray, cfg) -> np.ndarray:
@@ -95,5 +113,4 @@ def esprit_frequencies_host(windows: np.ndarray, cfg) -> np.ndarray:
     numpy.linalg.eigvals. Tests gate device/host agreement."""
     psi, d = _signal_subspace_rotation(jnp.asarray(np.asarray(windows)), cfg)
     lam = np.linalg.eigvals(np.asarray(psi))
-    ang = np.abs(np.angle(lam))
-    return np.asarray(_fold_frequencies(jnp.asarray(ang), d, cfg))
+    return np.asarray(_select_frequencies(jnp.asarray(lam), d, cfg))

@@ -791,6 +791,16 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
     # known) complex gain at each fitted frequency.
     hp_period = music_hp_period(cfg)
     if cfg.music_highpass and not pre_highpassed:
+        # Remove the price LEVEL before the cold-start filter: the
+        # one-pole high-pass seeded at a ~100-level price leaves a
+        # level-sized decaying exponential that dominates the covariance
+        # (real cycles lost, spurious low-frequency picks — the batch
+        # fast path avoids this with a warm series-level filter).
+        # Anchoring on the FIRST SAMPLE zeroes the filter's init step
+        # exactly (trend[0] = c*2*p[0] with y[-1]=0, so an input starting
+        # at 0 has no step); the filter is linear, so the constant shift
+        # never touches sinusoid amplitudes or phases.
+        windows = windows - windows[..., :1]
         windows = ehlers_highpass_detrend(windows, hp_period)
 
     st = music_candidates(windows, cfg, band_windows=band_windows)

@@ -52,6 +52,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
         ar_order=args.ar_order,
         detrend=DetrendMode[args.detrend.upper()],
         taper=WindowType[args.taper.upper()],
+        trend_period=args.trend_period,
         sample_rate_seconds=args.seconds_per_bar,
     )
     rcfg = ReconstructConfig(
@@ -134,8 +135,21 @@ def cmd_v757(args: argparse.Namespace) -> int:
 def cmd_inspect(args: argparse.Namespace) -> int:
     path = Path(args.input)
     raw = path.read_bytes()
+    if len(raw) < 12:
+        print(json.dumps({"kind": "unknown", "bytes": len(raw),
+                          "error": "file shorter than any cache header"}))
+        return 1
     hdr = np.frombuffer(raw[:12], np.int32)
-    if "cycles" in path.name:
+    # Detect by HEADER, not filename: a cycle cache is (version=1, bars,
+    # topk in 1..2) with a 160*bars payload; a feed cache is (count,
+    # 8*count payload). Filename sniffing misparsed renamed cycle files
+    # as feed caches and printed garbage stats.
+    is_cycle = (
+        int(hdr[0]) == 1
+        and 1 <= int(hdr[2]) <= 2
+        and len(raw) >= 12 + int(hdr[1]) * 160
+    )
+    if is_cycle:
         version, bars, topk = hdr
         print(json.dumps({
             "kind": "cycle_cache", "version": int(version),
@@ -156,6 +170,13 @@ def cmd_inspect(args: argparse.Namespace) -> int:
 
 def cmd_bench(args: argparse.Namespace) -> int:
     del args
+    # The harness lives at the repo root, which is only on sys.path when
+    # the CLI is launched from there — resolve it relative to the package.
+    import sys
+
+    root = str(Path(__file__).resolve().parents[1])
+    if root not in sys.path:
+        sys.path.insert(0, root)
     import bench  # repo-root harness
 
     bench.main()
@@ -181,6 +202,8 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("--ar-order", type=int, default=10)
     ex.add_argument("--detrend", default="none",
                     choices=["none", "linear", "ehlers"])
+    ex.add_argument("--trend-period", type=int, default=1024,
+                    help="Ehlers high-pass cutoff period (bars)")
     ex.add_argument("--taper", default="none",
                     choices=["none", "hann", "hamming", "blackman", "bartlett"])
     ex.add_argument("--seconds-per-bar", type=float, default=60.0)

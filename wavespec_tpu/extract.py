@@ -144,6 +144,25 @@ class ExtractConfig:
             raise ValueError(f"window must be a power of two >= 16, got {self.window}")
         if not 1 <= self.top_k <= 8:
             raise ValueError(f"top_k must be in [1, 8], got {self.top_k}")
+        if not 0 < self.min_period < self.max_period:
+            raise ValueError(
+                f"need 0 < min_period < max_period, got "
+                f"[{self.min_period}, {self.max_period}]"
+            )
+        # The candidate band [ceil(n/maxP), floor(n/minP)] must hold at
+        # least top_k bins, or lax.top_k / the MUSIC grids crash deep in
+        # tracing with obscure shape errors.
+        import math
+
+        k_lo = max(1, math.ceil(self.window / self.max_period))
+        k_hi = min(self.window // 2 - 1, math.floor(self.window / self.min_period))
+        n_band = k_hi - k_lo + 1
+        if n_band < self.top_k:
+            raise ValueError(
+                f"period band [{self.min_period}, {self.max_period}] holds "
+                f"{max(0, n_band)} FFT bins at window {self.window}; "
+                f"need >= top_k = {self.top_k}"
+            )
 
 
 def _precondition(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:

@@ -98,10 +98,16 @@ def kalman4d_filter(measurements: jax.Array, cfg: Kalman4DConfig = Kalman4DConfi
         )
         ema0 = z0
 
+        hp = jax.lax.Precision.HIGHEST
+
         def step(carry, z):
-            x, p, ema = carry
-            xp = f @ x
-            pp = f @ p @ f.T + jnp.diag(q_diag)
+            x, p, ema, ema_ready = carry
+            # HIGHEST precision: the covariance recursion is numerically
+            # sensitive and TPU matmuls default to bf16 (CLAUDE.md).
+            xp = jnp.matmul(f, x, precision=hp)
+            pp = jnp.matmul(
+                jnp.matmul(f, p, precision=hp), f.T, precision=hp
+            ) + jnp.diag(q_diag)
 
             y = z - xp[0]
             s = pp[0, 0] + r
@@ -125,11 +131,18 @@ def kalman4d_filter(measurements: jax.Array, cfg: Kalman4DConfig = Kalman4DConfi
             out = x[0]
             if cfg.ema_blend_period > 0.0:
                 alpha = 2.0 / (cfg.ema_blend_period + 1.0)
-                ema = alpha * out + (1.0 - alpha) * ema
+                # Reference seeds ema_prev with the FIRST FILTERED output
+                # (`:2117-2120` — not the raw measurement), so the first
+                # blended step passes `out` through unchanged.
+                ema = jnp.where(
+                    ema_ready, alpha * out + (1.0 - alpha) * ema, out
+                )
                 out = ema
-            return (x, p, ema), out
+            return (x, p, ema, jnp.asarray(True)), out
 
-        (x_f, _, _), outs = jax.lax.scan(step, (x0, p0, ema0), series)
+        (x_f, _, _, _), outs = jax.lax.scan(
+            step, (x0, p0, ema0, jnp.asarray(False)), series
+        )
         return outs, x_f
 
     fn = single
