@@ -149,3 +149,27 @@ def test_long_window_extract():
     attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
     periods = sorted(attrs[:, 2])
     np.testing.assert_allclose(periods, [1000.0, 3000.0], rtol=0.05)
+
+
+def test_extract_batch_sharded_1024_symbols():
+    """BASELINE config #5 scale: 1024 symbols sharded over the 8-device
+    mesh (128 per chip) in one fused program — the WaveCyclesBatchFetcher
+    scale-out analog. Small windows keep the CPU run fast; the contract
+    under test is the sharded batch axis at full symbol count."""
+    cfg = ExtractConfig(window=256, top_k=2, min_period=10.0,
+                        max_period=60.0, method=Method.FFT_RIDGE)
+    s, hop = 1024, 64
+    t = 256 + 2 * hop  # 3 windows per symbol
+    r = np.random.default_rng(5)
+    periods = r.uniform(12, 55, size=s)
+    tt = np.arange(t)
+    x = (np.sin(2 * np.pi * tt[None, :] / periods[:, None])
+         + 0.02 * r.standard_normal((s, t))).astype(np.float32)
+    mesh = make_mesh({"data": 8})
+    xb = shard_series_batch(jnp.asarray(x), mesh)
+    out = np.asarray(extract_batch_sharded(xb, cfg, hop=hop, mesh=mesh))
+    assert out.shape == (1024, 3, 2, 15)
+    # every symbol's strongest pick recovers its planted period
+    got = out[:, -1, 0, 2]  # newest window, top pick, PERIOD field
+    rel = np.abs(got - periods) / periods
+    assert (rel < 0.08).mean() > 0.97, rel.max()
