@@ -76,6 +76,21 @@ def _measure(cfg, hop: int, n_windows: int, k: int = 10) -> float:
     return n_windows / per_call
 
 
+def _measure_retry(cfg, hop: int, n_windows: int, tries: int = 3) -> float:
+    """The remote tunnel occasionally fails a whole program with a
+    transient INTERNAL error (observed ~once per session); the driver
+    runs this harness exactly once per round, so retry rather than lose
+    the round's number."""
+    last: Exception | None = None
+    for _ in range(tries):
+        try:
+            return _measure(cfg, hop, n_windows)
+        except Exception as exc:  # noqa: BLE001 - transient backend errors
+            last = exc
+            time.sleep(5.0)
+    raise last
+
+
 def main() -> None:
     from wavespec_tpu.extract import ExtractConfig, Method
 
@@ -86,7 +101,7 @@ def main() -> None:
         window=4096, top_k=4, min_period=9.0, max_period=200.0,
         method=Method.MUSIC, ar_order=10,
     )
-    music_wps = _measure(music_cfg, hop=64, n_windows=512)
+    music_wps = _measure_retry(music_cfg, hop=64, n_windows=512)
     print(
         json.dumps(
             {
@@ -106,7 +121,7 @@ def main() -> None:
         window=4096, top_k=8, min_period=18.0, max_period=200.0,
         method=Method.FFT_RIDGE, use_pallas_dft=True,
     )
-    ridge_wps = _measure(ridge_cfg, hop=16, n_windows=4096)
+    ridge_wps = _measure_retry(ridge_cfg, hop=16, n_windows=4096)
     print(
         json.dumps(
             {

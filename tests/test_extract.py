@@ -306,26 +306,28 @@ def test_music_off_grid_weakest_cycle_survives_prerank():
         assert abs(attrs[i, AMPLITUDE] - a) / a < 0.2, (b, attrs[:, AMPLITUDE])
 
 
-def test_nearest_merged_idx_matches_bruteforce():
+def test_bin_to_gidx_table_matches_bruteforce():
     """The merged multi-band grid is NOT globally sorted (frequency
-    descends block to block); `_nearest_merged_idx` must still return the
-    globally nearest grid point (a plain searchsorted on the merged
-    array returns unrelated indices — the round-2 ridge-seed bug)."""
+    descends block to block); the static bin->grid-index table used for
+    ridge seeds must return the globally nearest grid point for EVERY
+    in-band FFT bin (a plain searchsorted on the merged array returns
+    unrelated indices — the round-2 ridge-seed bug)."""
     import wavespec_tpu.analyze.music as M
+    from wavespec_tpu.ops.spectrum import band_indices
 
     cfg = ExtractConfig(window=4096, top_k=4, min_period=9.0,
                         max_period=200.0, method=Method.MUSIC, ar_order=10)
     w = jnp.zeros((1, 4096), jnp.float32)
-    _, freqs, _, _, band_slices = M.music_pseudospectrum(w, cfg)
+    _, freqs, _, _, _ = M.music_pseudospectrum(w, cfg)
     f_np = np.asarray(freqs)
     assert not np.all(np.diff(f_np) >= 0)  # the premise: merged grid unsorted
 
-    rng = np.random.default_rng(5)
-    probe = rng.uniform(1.0 / 200.0, 1.0 / 9.0, size=(2, 6)).astype(np.float32)
-    got = np.asarray(M._nearest_merged_idx(freqs, band_slices, jnp.asarray(probe)))
-    brute = np.abs(f_np[None, None, :] - probe[..., None]).argmin(axis=-1)
+    k_min, k_max = band_indices(cfg.window, cfg.min_period, cfg.max_period)
+    table = M._bin_to_gidx_table(cfg, k_min, k_max)
+    k_vals = np.arange(k_min, k_max + 1) / cfg.window
+    brute = np.abs(f_np[None, :] - k_vals[:, None]).argmin(axis=1)
     np.testing.assert_allclose(
-        np.abs(f_np[got] - probe), np.abs(f_np[brute] - probe), atol=1e-9
+        np.abs(f_np[table] - k_vals), np.abs(f_np[brute] - k_vals), atol=1e-9
     )
 
 

@@ -127,8 +127,8 @@ def _band_plan(cfg) -> list[tuple[float, float, int]]:
     return bands
 
 
-def _freq_grid_band(cfg, lo: float, hi: float):
-    """Frequency grid (cycles/bar) for a sub-band plus a core mask.
+def _freq_grid_band_np(cfg, lo: float, hi: float):
+    """Host-side (NumPy) frequency grid for a sub-band plus a core mask.
 
     The grid extends one FFT bin beyond the band's core on each side
     (clipped to the FULL analysis band) so that every core frequency has
@@ -147,7 +147,25 @@ def _freq_grid_band(cfg, lo: float, hi: float):
     # never mask the full band's outermost edges
     core |= kg <= k_lo_full
     core |= kg >= k_hi_full
-    return jnp.asarray(kg / n, jnp.float32), jnp.asarray(core)
+    return (kg / n).astype(np.float32), core
+
+
+def _freq_grid_band(cfg, lo: float, hi: float):
+    kg, core = _freq_grid_band_np(cfg, lo, hi)
+    return jnp.asarray(kg), jnp.asarray(core)
+
+
+def _bin_to_gidx_table(cfg, k_min_fb: int, k_max_fb: int) -> np.ndarray:
+    """Static table: integer FFT bin k (offset by k_min_fb) -> nearest
+    MERGED-grid index. The grid is a trace-time constant, so the whole
+    nearest-point search collapses to one host-side argmin here and ONE
+    device gather at runtime (ridge seeds are always integer bins; the
+    general `_nearest_merged_idx` costs a per-band searchsorted chain in
+    the latency path)."""
+    parts = [_freq_grid_band_np(cfg, lo, hi)[0] for (lo, hi, _) in _band_plan(cfg)]
+    freqs = np.concatenate(parts)
+    k_vals = np.arange(k_min_fb, k_max_fb + 1, dtype=np.float64) / cfg.window
+    return np.abs(freqs[None, :] - k_vals[:, None]).argmin(axis=1).astype(np.int32)
 
 
 def band_precondition_windows(series: jax.Array, cfg, hop: int):
@@ -474,34 +492,6 @@ def _cg_solve(gram: jax.Array, rhs: jax.Array, iters: int) -> jax.Array:
     return x
 
 
-def _nearest_merged_idx(freqs: jax.Array, band_slices: tuple,
-                        f: jax.Array) -> jax.Array:
-    """Nearest MERGED-grid index for frequencies ``f [..., k]``.
-
-    The merged multi-band grid is NOT globally sorted (bands are
-    ascending-period, so frequency DESCENDS block to block) — a global
-    searchsorted returns unrelated indices. Each band's slice IS
-    ascending: searchsorted per band (R static slices), then keep the
-    band whose nearest point is closest.
-    """
-    cand_idx = []
-    cand_dist = []
-    for (s0, s1) in band_slices:
-        fb = freqs[s0:s1]
-        i_hi = jnp.clip(jnp.searchsorted(fb, f), 0, s1 - s0 - 1)
-        i_lo = jnp.clip(i_hi - 1, 0, s1 - s0 - 1)
-        d_hi = jnp.abs(fb[i_hi] - f)
-        d_lo = jnp.abs(fb[i_lo] - f)
-        use_lo = d_lo < d_hi
-        cand_idx.append(jnp.where(use_lo, i_lo, i_hi) + s0)
-        cand_dist.append(jnp.where(use_lo, d_lo, d_hi))
-    dist = jnp.stack(cand_dist, axis=-1)             # [..., k, R]
-    best_band = jnp.argmin(dist, axis=-1)            # [..., k]
-    return jnp.take_along_axis(
-        jnp.stack(cand_idx, axis=-1), best_band[..., None], axis=-1
-    )[..., 0].astype(jnp.int32)
-
-
 def _dedupe_mask(freq: jax.Array, valid: jax.Array, tol: float) -> jax.Array:
     """Mask candidates closer than `tol` (cycles/bar) to an EARLIER valid
     candidate (band-overlap duplicates / peaks that merged under
@@ -671,7 +661,10 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
     ]
     rp, ridx = jax.lax.top_k(band_power, k)
     ridge_freq = (ridx + k_min_fb).astype(jnp.float32) / n
-    ridge_gidx = _nearest_merged_idx(freqs, band_slices, ridge_freq)
+    # Ridge seeds are integer FFT bins -> static bin->grid-index table,
+    # one gather (the merged grid is NOT globally sorted, so a naive
+    # searchsorted would return unrelated indices; see _bin_to_gidx_table).
+    ridge_gidx = jnp.asarray(_bin_to_gidx_table(cfg, k_min_fb, k_max_fb))[ridx]
     freq = jnp.concatenate([freq, ridge_freq], axis=-1)
     gidx = jnp.concatenate([gidx, ridge_gidx], axis=-1)
     vals = jnp.concatenate(
