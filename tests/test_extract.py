@@ -350,6 +350,33 @@ def test_music_single_window_price_level():
     assert any(abs(p - 120.0) / 120.0 < 0.05 for p in per), per
 
 
+def test_music_batch_fast_path_price_level():
+    """Batch-path analog of the price-level test: the rolling-STFT fast
+    path runs ONE series-level high-pass, which must be first-sample
+    anchored too — otherwise window 0 (and every window overlapping the
+    first ~3*hp_period bars, i.e. every OnlineDriver update span start)
+    sees a level-sized cold-start transient and loses the real cycles."""
+    cfg = ExtractConfig(window=1024, top_k=4, min_period=9.0,
+                        max_period=200.0, method=Method.MUSIC, ar_order=10)
+    t = np.arange(1024 + 3 * 256)
+    x = (100.0 + np.sin(2 * np.pi * t / 20.0)
+         + 0.8 * np.sin(2 * np.pi * t / 120.0)
+         + 0.05 * np.random.default_rng(2).standard_normal(t.size)
+         ).astype(np.float32)
+    attrs = np.asarray(extract_cycles_batch(jnp.asarray(x), cfg, hop=256))
+    w0 = attrs[0]  # the window fully inside the cold-start span
+    per = w0[w0[:, AMPLITUDE] > 0.1][:, PERIOD]
+    assert any(abs(p - 20.0) / 20.0 < 0.03 for p in per), per
+    assert any(abs(p - 120.0) / 120.0 < 0.05 for p in per), per
+    # And the fast path must agree with the per-window reference path on
+    # the recovered periods for the FIRST window.
+    ref = np.asarray(extract_cycles(jnp.asarray(x[:1024]), cfg))
+    ref_per = sorted(ref[ref[:, AMPLITUDE] > 0.1][:, PERIOD])
+    got_per = sorted(per)
+    assert len(ref_per) == len(got_per)
+    np.testing.assert_allclose(got_per, ref_per, rtol=0.02)
+
+
 def test_esprit_topk_exceeding_true_count():
     """ESPRIT with top_k above the true sinusoid count: the rotation
     operator then has UNPAIRED REAL eigenvalues, which shifted the old

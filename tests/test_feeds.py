@@ -50,6 +50,24 @@ def test_zigzag_finds_alternating_extrema():
         assert high[i] >= high[max(0, i - 10) : i + 10].max() - 1e-9
 
 
+def test_zigzag_records_only_at_true_extreme_bars():
+    """MT5's final recording gate (`low[shift]==val`): a bar is only
+    marked when it IS the depth-window extreme. Without the gate, an old
+    window minimum rolling off the back of the depth window marked a
+    phantom extremum at the current (non-extreme) bar carrying the
+    earlier bar's value."""
+    rng = np.random.default_rng(7)
+    mid = np.cumsum(rng.standard_normal(400)) * 0.01 + 10.0
+    high = mid + np.abs(rng.standard_normal(400)) * 0.005
+    low = mid - np.abs(rng.standard_normal(400)) * 0.005
+    cfg = ZigZagConfig(depth=12, deviation_points=5, backstep=3, point=1e-4)
+    peaks, bottoms = zigzag_extrema(high, low, cfg)
+    for i in np.nonzero(peaks)[0]:
+        assert peaks[i] == high[i], (i, peaks[i], high[i])
+    for i in np.nonzero(bottoms)[0]:
+        assert bottoms[i] == low[i], (i, bottoms[i], low[i])
+
+
 def test_zigzag_step_feed_holds_extrema():
     high, low = zig_prices()
     cfg = ZigZagConfig(point=1e-4)
@@ -216,10 +234,15 @@ def test_feed_pool_lru_and_versioning():
     assert calls == ["M1", "M1", "M5", "H1", "M1"]
 
 
-def test_zigzag_deviation_has_effect():
-    """deviation_points must actually filter markings (an earlier cut
-    required the current bar to BE the window extreme, which made the
-    deviation test a tautology — any setting produced identical output)."""
+def test_zigzag_deviation_is_inert_mt5_parity():
+    """MT5-parity quirk, documented deliberately: in the standard MT5
+    ZigZag the final recording gate (`low[shift]==val`) blocks every path
+    where the deviation test could fire (the test can only fail at a
+    non-extreme bar, where the write is blocked anyway, and the backstep
+    clears it unlocks are provably no-ops — a candidate within backstep is
+    always <= the new window extreme). Any deviation setting must produce
+    identical output. A round-2 'fix' that made deviation effective did so
+    by stamping phantom extrema at non-extreme bars."""
     rng = np.random.default_rng(9)
     n = 400
     base = np.cumsum(rng.standard_normal(n)) * 0.0003 + 1.2
@@ -227,6 +250,5 @@ def test_zigzag_deviation_has_effect():
     low = base - 0.0002 - 0.0002 * rng.random(n)
     tight = zigzag_extrema(high, low, ZigZagConfig(deviation_points=0))
     loose = zigzag_extrema(high, low, ZigZagConfig(deviation_points=40))
-    n_tight = (tight[0] != 0).sum() + (tight[1] != 0).sum()
-    n_loose = (loose[0] != 0).sum() + (loose[1] != 0).sum()
-    assert n_tight != n_loose, (n_tight, n_loose)
+    np.testing.assert_array_equal(tight[0], loose[0])
+    np.testing.assert_array_equal(tight[1], loose[1])

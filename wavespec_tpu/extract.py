@@ -455,9 +455,15 @@ def extract_cycles_batch(
             music_hp_period,
         )
 
-        hp_series = ehlers_highpass_detrend(
-            series.astype(jnp.float32), music_hp_period(cfg)
-        )
+        # Anchor on the first sample BEFORE the series-level filter, exactly
+        # as music_extract's pre_highpassed=False branch does per window: a
+        # ~100-level price seeds the cold-start one-pole HP with a
+        # level-sized decaying exponential that dominates the covariance of
+        # every window overlapping the first ~3*hp_period bars (and
+        # OnlineDriver cold-starts the filter at every update() span start).
+        series = series.astype(jnp.float32)
+        series = series - series[..., :1]
+        hp_series = ehlers_highpass_detrend(series, music_hp_period(cfg))
         windows = frame_series(hp_series, cfg.window, hop)
         band_w = band_precondition_windows(hp_series, cfg, hop)
         return music_extract(

@@ -13,11 +13,13 @@ three modes (`ZigZagFeed::BuildFeed`, `1.1.0:398-451`):
 
 MT5's indicator is not available here, so `zigzag_extrema` implements the
 classic depth/deviation/backstep algorithm (alternating swing highs/lows:
-the depth-window extreme is recorded at the current bar when that bar's
-own low/high sits within `deviation` points of it, and it supersedes
-weaker same-side extrema within `backstep` bars). Feed construction is
-exact per the
-reference's decode. Host-side NumPy by design: feed building is data
+a bar is marked when it IS the depth-window extreme and that extreme just
+changed; a new extreme supersedes weaker same-side candidates within
+`backstep` bars). Note the MT5 quirk reproduced deliberately: the final
+`low[shift]==val` recording gate makes `deviation_points` observably
+inert (the deviation test can only fail where the write is blocked
+anyway) — see test_zigzag_deviation_is_inert_mt5_parity. Feed
+construction is exact per the reference's decode. Host-side NumPy by design: feed building is data
 preparation (L1), not device compute — the arrays then feed the jitted
 extraction pipeline.
 """
@@ -62,12 +64,13 @@ def zigzag_extrema(high: np.ndarray, low: np.ndarray, cfg: ZigZagConfig = ZigZag
         return peaks, bottoms
     dev = cfg.deviation_points * cfg.point
 
-    # Candidate maps, MT5 ZigZag flow: the depth-window extreme `val` is
-    # recorded AT THE CURRENT BAR when (a) it differs from the last
-    # recorded window extreme and (b) the current bar's own low/high is
-    # within `deviation` of it. An earlier cut required the current bar
-    # to BE the window extreme, which made the deviation test a tautology
-    # (low[i] - lo was always 0) — deviation_points had no effect at all.
+    # Candidate maps, MT5 ZigZag flow: when the depth-window extreme `val`
+    # changes and the current bar's own low/high is within `deviation`
+    # points of it, weaker same-side candidates within `backstep` bars are
+    # cleared — but the buffer at bar i is only WRITTEN when the bar is
+    # itself the window extreme (MT5's final `low[shift]==val` gate).
+    # Deviation therefore shapes the output through the backstep clears,
+    # never by stamping a value from an earlier bar onto a non-extreme bar.
     high_map = np.zeros(n)
     low_map = np.zeros(n)
     last_high = 0.0
@@ -82,7 +85,8 @@ def zigzag_extrema(high: np.ndarray, low: np.ndarray, cfg: ZigZagConfig = ZigZag
                     j = i - back
                     if j >= 0 and low_map[j] != 0.0 and low_map[j] > lo:
                         low_map[j] = 0.0
-                low_map[i] = lo
+                if low[i] == lo:
+                    low_map[i] = lo
         hi = high[w0 : i + 1].max()
         if last_high == 0.0 or abs(hi - last_high) > 1e-15:
             last_high = hi
@@ -91,7 +95,8 @@ def zigzag_extrema(high: np.ndarray, low: np.ndarray, cfg: ZigZagConfig = ZigZag
                     j = i - back
                     if j >= 0 and high_map[j] != 0.0 and high_map[j] < hi:
                         high_map[j] = 0.0
-                high_map[i] = hi
+                if high[i] == hi:
+                    high_map[i] = hi
 
     # alternation pass: enforce peak/bottom alternation, keep the extreme
     last_kind = 0  # 0 none, 1 peak, -1 bottom

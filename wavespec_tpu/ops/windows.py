@@ -58,7 +58,10 @@ def window_coefficients(
     static for XLA. Computed host-side so it stays a true constant even
     when called inside a jit trace.
     """
-    return jnp.asarray(_window_np(n, WindowType(int(window_type))), dtype=dtype)
+    # Cast host-side first: handing jnp a float64 ndarray trips the x64
+    # truncation UserWarning on every call even when dtype is given.
+    coeffs = np.asarray(_window_np(n, WindowType(int(window_type))), dtype=dtype)
+    return jnp.asarray(coeffs)
 
 
 def coherent_gain(n: int, window_type: WindowType | int) -> float:

@@ -23,7 +23,13 @@ from pathlib import Path
 import numpy as np
 import jax.numpy as jnp
 
-from wavespec_tpu.extract import ExtractConfig, extract_cycles_batch
+from wavespec_tpu.extract import (
+    DetrendMode,
+    ExtractConfig,
+    Method,
+    extract_cycles_batch,
+)
+from wavespec_tpu.ops.windows import WindowType
 from wavespec_tpu.pipeline.session import Session
 from wavespec_tpu.reconstruct import ReconstructConfig, decode_causal, render_final
 from wavespec_tpu.runtime.caches import (
@@ -64,7 +70,17 @@ def extract_cycles_batch_chunked(
     nwin = 1 + (n - w) // hop
     if nwin <= chunk_windows:
         return np.asarray(extract_cycles_batch(jnp.asarray(series), ecfg, hop=hop))
-    warm_bars = 3 * music_hp_period(ecfg)
+    # The warmup lead only matters when the batch fast path actually runs
+    # series-level IIR filters (same predicate as extract.py's fast path);
+    # otherwise windows are preconditioned independently and chunking is
+    # exact — lead=0 skips the compute-and-discard work entirely.
+    fast_path = (
+        ecfg.method == Method.MUSIC
+        and ecfg.music_highpass
+        and ecfg.detrend == DetrendMode.NONE
+        and ecfg.taper == WindowType.NONE
+    )
+    warm_bars = 3 * music_hp_period(ecfg) if fast_path else 0
     warm_windows = -(-warm_bars // hop)  # ceil: discarded per chunk
     parts = []
     for w0 in range(0, nwin, chunk_windows):
