@@ -119,6 +119,48 @@ def test_segmented_sharded_max_mode():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
+def test_segmented_sharded_auto_tunes_overlap():
+    """Odd series length on an 8-way axis: instead of raising, the overlap
+    is re-solved (the reference's `InpSegmentAutoTune`, `gpu_wip.mq5:35-38`)
+    and the sharded result equals the single-device result at the SOLVED
+    overlap exactly; vs the requested overlap it agrees to Welch-retune
+    tolerance (same spectral support, different segment averaging)."""
+    from wavespec_tpu.mesh import solve_overlap
+
+    n, seg, req = 9473, 1024, 256  # nseg @ 256 = 12, not divisible by 8
+    t = np.arange(n)
+    x = (np.sin(2 * np.pi * t / 100) + 0.3 * np.sin(2 * np.pi * t / 17)
+         ).astype(np.float32)
+    mesh = make_mesh({"window": 8})
+    got = np.asarray(
+        fft_segmented_sharded(jnp.asarray(x), mesh, axis="window",
+                              segment_len=seg, overlap=req,
+                              mix_mode=MixMode.ENERGY)
+    )
+    solved = solve_overlap(n, seg, 8, req)
+    assert (1 + (n - seg) // (seg - solved)) % 8 == 0
+    want = np.asarray(fft_segmented(jnp.asarray(x), seg, solved, MixMode.ENERGY))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+    # same dominant structure as the requested-overlap single-device run
+    ref = np.asarray(fft_segmented(jnp.asarray(x), seg, req, MixMode.ENERGY))
+    assert got.argmax() == ref.argmax()
+    # exact divisibility keeps the requested overlap untouched
+    n2 = 8192  # nseg @ overlap 0 = 8
+    x2 = x[:n2]
+    got2 = np.asarray(
+        fft_segmented_sharded(jnp.asarray(x2), mesh, axis="window",
+                              segment_len=seg, overlap=0,
+                              mix_mode=MixMode.ENERGY)
+    )
+    want2 = np.asarray(fft_segmented(jnp.asarray(x2), seg, 0, MixMode.ENERGY))
+    np.testing.assert_allclose(got2, want2, rtol=1e-4, atol=1e-3)
+    # strict mode still raises
+    with pytest.raises(ValueError, match="not divisible"):
+        fft_segmented_sharded(jnp.asarray(x), mesh, axis="window",
+                              segment_len=seg, overlap=req,
+                              mix_mode=MixMode.ENERGY, auto_tune=False)
+
+
 def test_pipeline_step_sharded_music():
     """MUSIC (jacobi scan) under shard_map on the 8-device mesh."""
     from wavespec_tpu.extract import Method

@@ -9,6 +9,7 @@ from wavespec_tpu.mesh.mesh import (
 from wavespec_tpu.mesh.segmented import (
     MixMode,
     auto_overlap,
+    solve_overlap,
     fft_segmented,
     fft_segmented_sharded,
     num_segments,
@@ -18,6 +19,7 @@ from wavespec_tpu.mesh.segmented import (
 __all__ = [
     "MixMode",
     "auto_overlap",
+    "solve_overlap",
     "extract_batch_sharded",
     "fft_segmented",
     "fft_segmented_sharded",

@@ -96,6 +96,36 @@ def auto_overlap(segment_len: int, overlap_pct: float = 0.25) -> int:
     return int(segment_len * overlap_pct)
 
 
+def solve_overlap(
+    n: int, segment_len: int, n_chips: int, overlap: int
+) -> int:
+    """Closest overlap to `overlap` whose segment count divides `n_chips`.
+
+    The reference auto-tunes overlap from a percentage rather than
+    requiring exact divisibility (`InpSegmentAutoTune`/`InpSegmentOverlapPct`,
+    `gpu_wip.mq5:35-38`); the mesh analog re-solves the overlap so the
+    segment axis splits evenly across chips. Host-side O(segment_len)
+    search — exact, and trivial next to a single segment FFT.
+    """
+    if n < segment_len:
+        raise ValueError(f"series length {n} shorter than segment_len {segment_len}")
+    best = None
+    for hop in range(1, segment_len + 1):
+        nseg = 1 + (n - segment_len) // hop
+        if nseg % n_chips:
+            continue
+        cand = segment_len - hop
+        dist = abs(cand - overlap)
+        if best is None or dist < best[0]:
+            best = (dist, cand)
+    if best is None:
+        raise ValueError(
+            f"no overlap in [0, {segment_len - 1}] yields a segment count "
+            f"divisible by {n_chips} (n={n}, segment_len={segment_len})"
+        )
+    return best[1]
+
+
 def fft_segmented_sharded(
     series: jax.Array,
     mesh: jax.sharding.Mesh,
@@ -104,19 +134,29 @@ def fft_segmented_sharded(
     segment_len: int = 16384,
     overlap: int = 4096,
     mix_mode: MixMode = MixMode.ENERGY,
+    auto_tune: bool = True,
 ) -> jax.Array:
     """Mesh-sharded segmented rFFT: segments split across `axis` chips.
 
-    The segment count must be divisible by the mesh axis size. Each chip
-    runs its local MXU rFFTs and the ENERGY/COHERENT mix is completed with
-    a `psum` mean over ICI; MAX uses `pmax`.
+    Each chip runs its local MXU rFFTs and the ENERGY/COHERENT mix is
+    completed with a `psum` mean over ICI; MAX uses `pmax`. When the
+    segment count does not divide the mesh axis, the overlap is re-solved
+    to the nearest value that does (`auto_tune`, the reference's
+    `InpSegmentAutoTune` behavior — `gpu_wip.mq5:35-38`); exact requested
+    overlap is always kept when it already divides. `auto_tune=False`
+    restores the strict raise.
     """
     mode = MixMode(mix_mode)
     n_chips = mesh.shape[axis]
-    segs = split_segments(series.astype(jnp.float32), segment_len, overlap)
-    nseg = segs.shape[-2]
+    series = series.astype(jnp.float32)
+    nseg = num_segments(series.shape[-1], segment_len, overlap)
     if nseg % n_chips:
-        raise ValueError(f"nseg {nseg} not divisible by mesh axis {axis}={n_chips}")
+        if not auto_tune:
+            raise ValueError(
+                f"nseg {nseg} not divisible by mesh axis {axis}={n_chips}"
+            )
+        overlap = solve_overlap(series.shape[-1], segment_len, n_chips, overlap)
+    segs = split_segments(series, segment_len, overlap)
 
     def local(seg_block):
         spec = rfft_mxu(seg_block)

@@ -16,7 +16,12 @@ from wavespec_tpu.pipeline.spec import (
     parse_preset,
     run_pipeline,
 )
-from wavespec_tpu.pipeline.v757 import V757Config, run_v757
+from wavespec_tpu.pipeline.v757 import (
+    V757Config,
+    run_v757,
+    run_v757_batch,
+    run_v757_batch_sharded,
+)
 
 __all__ = [
     "BatchFetcher",
@@ -32,5 +37,7 @@ __all__ = [
     "parse_preset",
     "run_pipeline",
     "run_v757",
+    "run_v757_batch",
+    "run_v757_batch_sharded",
     "V757Config",
 ]

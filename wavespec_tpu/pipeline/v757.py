@@ -111,25 +111,18 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
     return cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx
 
 
-def run_v757(
-    series: np.ndarray,
+def _v757_device(
+    series: jax.Array,
     cfg: V757Config = V757Config(),
     hop: int = 1,
-) -> dict[str, np.ndarray]:
-    """Full-history analytics. Frame f covers bars [f*hop, f*hop+window).
+) -> dict[str, jax.Array]:
+    """Device-pure v7.57 core over one 1-D series: all outputs on device.
 
-    Note: the sequential state machines (trackers, ETA, signals) advance
-    once per FRAME; with hop > 1 a frame step spans `hop` bars, so set
-    `seconds_per_bar` to the per-frame wall time (hop * bar seconds) when
-    ETAs must stay in wall-clock units.
-
-    Returns per-frame arrays (T = number of frames, S = 12 slots):
-      slot_period/slot_power/slot_valid [T, S], leak flags, cycle
-      waveforms [T, S] (biquad), color/eta buffers [T, S], signals
-      sig [T, S] / confluence [T], kalman [T] (filtered price at each
-      frame's newest bar), states [T, S].
+    The batch axis rides on top of this via `jax.vmap` (`run_v757_batch`)
+    and `shard_map` over the mesh data axis (`run_v757_batch_sharded`) —
+    the per-frame state machines are pure `lax.scan`s, so the symbol axis
+    vectorizes with no cross-symbol interaction.
     """
-    series = jnp.asarray(np.asarray(series, np.float32))
     n_slots = cfg.tracker.n_slots
 
     # 1) batched spectral frames + candidates
@@ -230,21 +223,147 @@ def run_v757(
     if cfg.enable_kalman:
         kf, _ = kalman4d_filter(newest, cfg.kalman)
         out["kalman"] = kf
+    return out
 
-    # ONE host transfer: the remote tunnel makes per-array device->host
-    # copies the wall-clock bottleneck (~15 small transfers cost more than
-    # the whole device computation). Pack everything into a single [T, F]
-    # f32 buffer and split host-side.
-    packed, spans = _pack_transfer(out)
+
+@partial(jax.jit, static_argnames=("cfg", "hop"))
+def _v757_packed(series: jax.Array, cfg: V757Config, hop: int):
+    return _pack_transfer(_v757_device(series, cfg, hop))
+
+
+def run_v757(
+    series: np.ndarray,
+    cfg: V757Config = V757Config(),
+    hop: int = 1,
+) -> dict[str, np.ndarray]:
+    """Full-history analytics. Frame f covers bars [f*hop, f*hop+window).
+
+    Note: the sequential state machines (trackers, ETA, signals) advance
+    once per FRAME; with hop > 1 a frame step spans `hop` bars, so set
+    `seconds_per_bar` to the per-frame wall time (hop * bar seconds) when
+    ETAs must stay in wall-clock units.
+
+    Returns per-frame arrays (T = number of frames, S = 12 slots):
+      slot_period/slot_power/slot_valid [T, S], leak flags, cycle
+      waveforms [T, S] (biquad), color/eta buffers [T, S], signals
+      sig [T, S] / confluence [T], kalman [T] (filtered price at each
+      frame's newest bar), states [T, S].
+
+    ONE host transfer: the remote tunnel makes per-array device->host
+    copies the wall-clock bottleneck (~15 small transfers cost more than
+    the whole device computation), so everything rides in a single
+    [T, F] f32 buffer split host-side.
+    """
+    series = jnp.asarray(np.asarray(series, np.float32))
+    packed, spans = _v757_packed(series, cfg, hop)
     return _unpack_transfer(np.asarray(packed), spans)
+
+
+@partial(jax.jit, static_argnames=("cfg", "hop"))
+def _v757_batch_packed(series_batch: jax.Array, cfg: V757Config, hop: int):
+    out = jax.vmap(lambda s: _v757_device(s, cfg, hop))(series_batch)
+    return _pack_transfer(out)
+
+
+def run_v757_batch(
+    series_batch: np.ndarray,
+    cfg: V757Config = V757Config(),
+    hop: int = 1,
+) -> dict[str, np.ndarray]:
+    """Multi-symbol v7.57: the FULL analytics pipeline over a [B, L] batch.
+
+    The reference's scale-out workload is many symbols x timeframes
+    (`WaveCyclesBatchFetcher.mq5:91-143`, multi-TF pool
+    `Legacy/WaveSpecZZ_1.0.2.mq5:50-130`) run one at a time; here the
+    symbol axis is a `jax.vmap` over the device core, so the tracker/ETA/
+    signal scans advance ALL symbols per frame step — amortizing the
+    per-step small-op latency that bounds the single-series path
+    (~13.7 us/frame; see docs/ROUND2.md) across the whole batch.
+
+    Returns the `run_v757` dict with a leading batch axis: [B, T, S] slot
+    buffers, [B, T] confluence/kalman.
+    """
+    series_batch = jnp.asarray(np.asarray(series_batch, np.float32))
+    if series_batch.ndim != 2:
+        raise ValueError(f"series_batch must be [B, L], got {series_batch.shape}")
+    packed, spans = _v757_batch_packed(series_batch, cfg, hop)
+    return _unpack_transfer(np.asarray(packed), spans)
+
+
+def run_v757_batch_sharded(
+    series_batch,
+    cfg: V757Config = V757Config(),
+    hop: int = 1,
+    *,
+    mesh,
+    axis: str = "data",
+    transfer: bool = True,
+):
+    """`run_v757_batch` sharded over the mesh `axis` (SURVEY §2.4 row 5).
+
+    Pure data parallelism: each chip runs the full analytics pipeline on
+    its local shard of the symbol batch — zero steady-state collectives,
+    the direct TPU analog of the fetcher running per-symbol jobs. The
+    batch size must divide the mesh axis.
+
+    With `transfer=False` the packed [B, T, F] device buffer + spans are
+    returned instead of host arrays (bench path: keeps results on device).
+    """
+    import jax.sharding as shd
+
+    series_batch = jnp.asarray(series_batch, jnp.float32)
+    n_shards = mesh.shape[axis]
+    if series_batch.shape[0] % n_shards:
+        raise ValueError(
+            f"batch {series_batch.shape[0]} not divisible by mesh axis "
+            f"'{axis}' = {n_shards}"
+        )
+    spec = shd.PartitionSpec(axis, None)
+    series_batch = jax.device_put(
+        series_batch, shd.NamedSharding(mesh, spec)
+    )
+
+    def local(block):
+        return _v757_batch_packed(block, cfg, hop)
+
+    out_spec = shd.PartitionSpec(axis, None, None)
+    # spans are static python metadata — compute once from shapes.
+    # check_vma=False: the tracker/ETA scans carry replicated zero-init
+    # state that becomes shard-varying after one step, which the varying-
+    # manual-axes checker rejects; the computation itself is per-shard
+    # pure data parallelism with no collectives, so the check is moot.
+    packed = jax.shard_map(
+        lambda b: local(b)[0], mesh=mesh, in_specs=spec, out_specs=out_spec,
+        check_vma=False,
+    )(series_batch)
+    spans = _v757_spans(cfg, hop)
+    if not transfer:
+        return packed, spans
+    return _unpack_transfer(np.asarray(packed), spans)
+
+
+def _v757_spans(cfg: V757Config, hop: int) -> dict:
+    """Static pack layout (field -> column span) via shape-only tracing."""
+    shapes = jax.eval_shape(
+        lambda s: _v757_device(s, cfg, hop),
+        jax.ShapeDtypeStruct((cfg.window + 7 * hop,), jnp.float32),
+    )
+    spans, pos = {}, 0
+    for k, v in shapes.items():
+        width = 1 if k in _SCALAR_COLS else v.shape[-1]
+        spans[k] = (pos, pos + width, k in _SCALAR_COLS)
+        pos += width
+    return spans
 
 
 _INT_COLS = frozenset({"slot_uid"})
 _BOOL_COLS = frozenset({"slot_valid", "leak_active"})
+_SCALAR_COLS = frozenset({"confluence", "kalman"})
 
 
 def _pack_transfer(out: dict):
-    """Pack a dict of [T]/[T, S] device arrays into one [T, F] f32 buffer.
+    """Pack a dict of [..., T]/[..., T, S] device arrays into one
+    [..., T, F] f32 buffer.
 
     Integer columns (slot_uid) ride as BITCAST f32 lanes — a value cast
     would silently round uids above 2^24 (f32 spacing is 2 there, and
@@ -257,29 +376,29 @@ def _pack_transfer(out: dict):
     spans = {}
     pos = 0
     for k, v in out.items():
-        v2 = v[:, None] if v.ndim == 1 else v
-        spans[k] = (pos, pos + v2.shape[1], v.ndim)
-        pos += v2.shape[1]
+        v2 = v[..., None] if k in _SCALAR_COLS else v
+        spans[k] = (pos, pos + v2.shape[-1], k in _SCALAR_COLS)
+        pos += v2.shape[-1]
         if k in _INT_COLS:
             cols.append(jax.lax.bitcast_convert_type(
                 v2.astype(jnp.int32), jnp.float32))
         else:
             cols.append(v2.astype(jnp.float32))
-    return jnp.concatenate(cols, axis=1), spans
+    return jnp.concatenate(cols, axis=-1), spans
 
 
 def _unpack_transfer(packed: np.ndarray, spans: dict) -> dict[str, np.ndarray]:
     """Host-side split of `_pack_transfer`'s buffer; exact dtype restore."""
     result = {}
-    for k, (lo, hi, ndim) in spans.items():
-        arr = packed[:, lo:hi]
+    for k, (lo, hi, scalar) in spans.items():
+        arr = packed[..., lo:hi]
         if k in _BOOL_COLS:
             arr = arr > 0.5
         elif k in _INT_COLS:
             arr = np.ascontiguousarray(arr).view(np.int32)
         else:
             arr = np.ascontiguousarray(arr)
-        if ndim == 1:
-            arr = arr[:, 0]
+        if scalar:
+            arr = arr[..., 0]
         result[k] = arr
     return result
