@@ -7,7 +7,8 @@ import pytest
 from wavespec_tpu import extract
 from wavespec_tpu.analyze.jacobi import jacobi_eigh
 from wavespec_tpu.extract import (
-    AMPLITUDE, ETA_BARS, ETA_CONFIDENCE, ENERGY_RATIO, FREQ, METHOD_ID,
+    AMPLITUDE, COHERENCE, EIGEN_RATIO, ETA_BARS, ETA_CONFIDENCE, ENERGY_RATIO,
+    FREQ, METHOD_ID,
     PERIOD, PHASE, SCORE, SNR_DB, ExtractConfig, Method, DetrendMode,
     extract_cycles, extract_cycles_batch,
 )
@@ -375,6 +376,56 @@ def test_music_batch_fast_path_price_level():
     got_per = sorted(per)
     assert len(ref_per) == len(got_per)
     np.testing.assert_allclose(got_per, ref_per, rtol=0.02)
+
+
+def test_esprit_method_flagship_planted_sinusoids():
+    """Method.ESPRIT through the PUBLIC surface at the flagship config
+    (window 4096, ar_order 10, top_k 4, band [9, 200] — `1.1.0:21,49-51`):
+    planted cycles recovered with amplitude/phase through the shared
+    fit/rank tail, records carrying method_id=1 (subspace family)."""
+    cfg = ExtractConfig(window=4096, top_k=4, min_period=9.0,
+                        max_period=200.0, method=Method.ESPRIT, ar_order=10)
+    t = np.arange(4096)
+    x = (100.0 + 1.2 * np.sin(2 * np.pi * t / 50.0 + 0.7)
+         + 0.6 * np.sin(2 * np.pi * t / 150.0)
+         + 0.05 * np.random.default_rng(4).standard_normal(4096)
+         ).astype(np.float32)
+    attrs = np.asarray(extract_cycles(jnp.asarray(x), cfg))
+    live = attrs[attrs[:, AMPLITUDE] > 0.1]
+    per = live[:, PERIOD]
+    assert any(abs(p - 50.0) / 50.0 < 0.02 for p in per), per
+    assert any(abs(p - 150.0) / 150.0 < 0.05 for p in per), per
+    # amplitudes recovered through the HP gain compensation
+    a50 = live[np.argmin(np.abs(per - 50.0)), AMPLITUDE]
+    assert abs(a50 - 1.2) / 1.2 < 0.1, a50
+    assert (live[:, METHOD_ID] == 1.0).all()  # subspace family id
+    # quality fields populated and sane
+    assert (live[:, COHERENCE] > 0.3).all()
+    assert (live[:, EIGEN_RATIO] > 1.0).all()
+
+
+def test_esprit_method_batch_fast_path_matches_single():
+    """The ESPRIT batch fast path (series-level warm high-pass) must agree
+    with the per-window path on window 0 (identical cold start there)."""
+    cfg = ExtractConfig(window=1024, top_k=3, min_period=9.0,
+                        max_period=200.0, method=Method.ESPRIT, ar_order=10)
+    t = np.arange(1024 + 300)
+    x = (100.0 + np.sin(2 * np.pi * t / 20.0)
+         + 0.8 * np.sin(2 * np.pi * t / 120.0)
+         + 0.02 * np.random.default_rng(6).standard_normal(t.size)
+         ).astype(np.float32)
+    batch = np.asarray(extract_cycles_batch(jnp.asarray(x), cfg, hop=150))
+    single = np.asarray(extract_cycles(jnp.asarray(x[:1024]), cfg))
+    np.testing.assert_allclose(batch[0], single, rtol=2e-3, atol=2e-3)
+    # later (warm-filter) windows still recover the planted cycles
+    for w in range(1, batch.shape[0]):
+        per = batch[w][batch[w][:, AMPLITUDE] > 0.1][:, PERIOD]
+        assert any(abs(p - 20.0) / 20.0 < 0.03 for p in per), (w, per)
+
+
+def test_esprit_method_ar_order_validation():
+    with pytest.raises(ValueError, match="ar_order >= 2\\*top_k\\+2"):
+        ExtractConfig(window=1024, top_k=4, method=Method.ESPRIT, ar_order=8)
 
 
 def test_esprit_topk_exceeding_true_count():

@@ -35,7 +35,8 @@ from wavespec_tpu.analyze.music import _auto_decimation, _autocov_toeplitz, _dec
 
 
 def _signal_subspace_rotation(windows: jax.Array, cfg):
-    """Shared steps 1-2: returns (Psi [..., p, p], decimation D)."""
+    """Shared steps 1-2: returns (Psi [..., p, p], decimation D,
+    covariance eigenvalues [..., m] ascending)."""
     m = cfg.ar_order
     p = 2 * cfg.top_k
     if m < p + 2:
@@ -45,7 +46,7 @@ def _signal_subspace_rotation(windows: jax.Array, cfg):
     d = _auto_decimation(cfg)
     xd = _decimate_box(windows.astype(jnp.float32), d)
     r = _autocov_toeplitz(xd, m)
-    _, eigvecs = jacobi_eigh(r)
+    cov_eigvals, eigvecs = jacobi_eigh(r)
     # signal subspace: last p columns (eigvals ascending)
     s = eigvecs[..., m - p :]
 
@@ -64,7 +65,7 @@ def _signal_subspace_rotation(windows: jax.Array, cfg):
     psi = jnp.einsum(
         "...ij,...jk->...ik", v, inv_lam[..., None] * vt_atb, precision=hp
     )
-    return psi, d
+    return psi, d, cov_eigvals
 
 
 def _select_frequencies(lam: jax.Array, d: int, cfg):
@@ -89,9 +90,11 @@ def _select_frequencies(lam: jax.Array, d: int, cfg):
     score = jnp.where(ok, -jnp.abs(mod - 1.0), -jnp.inf)
     top_score, idx = jax.lax.top_k(score, cfg.top_k)
     freq = jnp.take_along_axis(ang, idx, axis=-1) / (2.0 * jnp.pi * d)
+    mod_sel = jnp.take_along_axis(mod, idx, axis=-1)
     valid = jnp.isfinite(top_score)
     lo, hi = 1.0 / cfg.max_period, 1.0 / cfg.min_period
-    return jnp.where(valid & (freq >= lo) & (freq <= hi), freq, 0.0)
+    freq = jnp.where(valid & (freq >= lo) & (freq <= hi), freq, 0.0)
+    return freq, mod_sel
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -103,14 +106,113 @@ def esprit_frequencies(windows: jax.Array, cfg) -> jax.Array:
     callers should high-pass drifting feeds first). Returns
     ``[..., top_k]`` frequencies (unordered; 0 where no in-band estimate).
     """
-    psi, d = _signal_subspace_rotation(jnp.asarray(windows), cfg)
+    psi, d, _ = _signal_subspace_rotation(jnp.asarray(windows), cfg)
     lam = eigvals_small(psi)                 # complex [..., p]
-    return _select_frequencies(lam, d, cfg)
+    return _select_frequencies(lam, d, cfg)[0]
 
 
 def esprit_frequencies_host(windows: np.ndarray, cfg) -> np.ndarray:
     """Host cross-check: identical pipeline but step 3 uses
     numpy.linalg.eigvals. Tests gate device/host agreement."""
-    psi, d = _signal_subspace_rotation(jnp.asarray(np.asarray(windows)), cfg)
+    psi, d, _ = _signal_subspace_rotation(jnp.asarray(np.asarray(windows)), cfg)
     lam = np.linalg.eigvals(np.asarray(psi))
-    return np.asarray(_select_frequencies(jnp.asarray(lam), d, cfg))
+    return np.asarray(_select_frequencies(jnp.asarray(lam), d, cfg)[0])
+
+
+def esprit_extract(windows: jax.Array, cfg, pre_highpassed: bool = False
+                   ) -> jax.Array:
+    """Full ESPRIT extraction: stride-15 attrs through the same
+    precondition/fit/rank tail as `music_extract`.
+
+    Wired to the public surface as `Method.ESPRIT` (`extract.py`): the
+    reference's `method=1` is named "MUSIC/ESPRIT" (`1.1.0:50`), so both
+    subspace estimators emit `method_id=1` in the stride-15 record — the
+    decode-site MusicOnly gate (`1.1.0:1492-1494`) accepts either.
+
+    Differences from MUSIC, by construction of the estimator:
+    - frequencies come from the rotation operator's eigenvalues (no grid,
+      no pseudospectrum) and get one parabolic refinement at the
+      subspace-grid fine step;
+    - coherence is the unit-circle proximity of the selected rotation
+      eigenvalue (signal roots lie ON the circle, noise roots inside) —
+      the subspace-concentration analog of the pseudospectrum peak ratio;
+    - eigen_ratio is the covariance signal/noise eigenvalue ratio, same
+      definition as MUSIC's but on the single full-band covariance.
+    """
+    from wavespec_tpu.extract import Method, _attrs_from_peaks  # circular-safe
+    from wavespec_tpu.analyze.music import (
+        _dedupe_mask,
+        _refine_freq,
+        _sinusoid_fit,
+        hp_gain_compensate,
+        music_hp_period,
+    )
+    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
+    from wavespec_tpu.ops.spectrum import band_indices
+
+    n = cfg.window
+    m = cfg.ar_order
+    p = 2 * cfg.top_k
+
+    hp_period = music_hp_period(cfg)
+    if cfg.music_highpass and not pre_highpassed:
+        # First-sample anchor before the cold-start filter, exactly as
+        # music_extract (a price-level init step otherwise dominates the
+        # covariance).
+        windows = windows - windows[..., :1]
+        windows = ehlers_highpass_detrend(windows, hp_period)
+
+    psi, d, cov_eigvals = _signal_subspace_rotation(windows, cfg)
+    lam = eigvals_small(psi)
+    freq, mod_sel = _select_frequencies(lam, d, cfg)
+    valid = freq > 0.0
+
+    # Parabolic refinement at the subspace fine step (ESPRIT frequencies
+    # are continuous already; one pass tightens the LS fit's phase).
+    fine_step = 1.0 / (n * max(cfg.music_grid_per_bin, 1))
+    freq, _ = _refine_freq(windows, freq, step=fine_step)
+    valid = _dedupe_mask(freq, valid, 0.5 / n)
+    freq = jnp.where(valid, freq, 0.0)
+
+    a, b, resid_energy = _sinusoid_fit(
+        windows, freq, valid=valid.astype(jnp.float32))
+    amp = jnp.sqrt(a * a + b * b)
+    psi_ph = jnp.arctan2(a, b)
+    if cfg.music_highpass:
+        amp, psi_ph = hp_gain_compensate(amp, psi_ph, freq, hp_period)
+    omega = 2.0 * jnp.pi * freq
+    phase_end = omega * (n - 1) + psi_ph
+
+    power = (amp * n / 2.0) ** 2
+    noise_floor = jnp.maximum(resid_energy, 1e-30)
+    k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
+    n_band = float(k_max - k_min + 1)
+    total_inband = (
+        jnp.sum(jnp.where(valid, power, 0.0), axis=-1) + noise_floor * n_band
+    )
+
+    # Unit-circle proximity -> 0..1 concentration (exact root: coh = 1).
+    coherence = jnp.clip(1.0 - 2.0 * jnp.abs(mod_sel - 1.0), 0.0, 1.0)
+
+    sig_mean = jnp.mean(cov_eigvals[..., m - p :], axis=-1)
+    noi_mean = jnp.maximum(jnp.mean(cov_eigvals[..., : m - p], axis=-1), 1e-30)
+    ratio = jnp.clip(sig_mean / noi_mean, 0.0, 1e6)
+    eigen_ratio = jnp.broadcast_to(ratio[..., None], amp.shape)
+
+    # Rank by fitted power (same final ordering rule as music_extract).
+    rank_key = jnp.where(valid, power, -1.0)
+    _, top_idx = jax.lax.top_k(rank_key, cfg.top_k)
+    packed = jnp.stack(
+        [freq, amp, phase_end, power, coherence,
+         valid.astype(jnp.float32), eigen_ratio], axis=-1,
+    )
+    taken = jnp.take_along_axis(packed, top_idx[..., None], axis=-2)
+    freq, amp, phase_end = taken[..., 0], taken[..., 1], taken[..., 2]
+    power, coherence = taken[..., 3], taken[..., 4]
+    valid = taken[..., 5] > 0.5
+    eigen_ratio = taken[..., 6]
+
+    return _attrs_from_peaks(
+        freq, amp, phase_end, power, valid, total_inband, noise_floor,
+        coherence, eigen_ratio, int(Method.MUSIC), cfg,
+    )

@@ -753,6 +753,34 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
     return out
 
 
+def hp_gain_compensate(amp: jax.Array, psi: jax.Array, freq: jax.Array,
+                       hp_period: int):
+    """Undo the preconditioning high-pass's exactly-known complex gain.
+
+    Ehlers HP: trend T(z) = c(1+z^-1)/(1-alpha z^-1), H = 1 - T. An input
+    A sin(wt+psi0) emerges as A|H| sin(wt+psi0+argH), so the true
+    parameters are amp/|H| and psi - argH. Shared by the MUSIC and ESPRIT
+    extraction tails.
+    """
+    import math
+
+    w_hp = 2.0 * math.pi / hp_period
+    alpha = (1.0 - math.sin(w_hp)) / math.cos(w_hp)
+    c = (1.0 - alpha) / 2.0
+    wrad = 2.0 * jnp.pi * freq
+    z_re, z_im = jnp.cos(-wrad), jnp.sin(-wrad)  # z^-1 on unit circle
+    num_re, num_im = c * (1.0 + z_re), c * z_im
+    den_re, den_im = 1.0 - alpha * z_re, -alpha * z_im
+    den2 = den_re * den_re + den_im * den_im
+    t_re = (num_re * den_re + num_im * den_im) / den2
+    t_im = (num_im * den_re - num_re * den_im) / den2
+    h_re, h_im = 1.0 - t_re, -t_im
+    h_mag = jnp.sqrt(h_re * h_re + h_im * h_im)
+    amp = amp / jnp.maximum(h_mag, 0.05)
+    psi = psi - jnp.arctan2(h_im, h_re)
+    return amp, psi
+
+
 def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
                   band_windows=None) -> jax.Array:
     """MUSIC extraction over preconditioned windows ``[..., n]``.
@@ -805,25 +833,7 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
     psi = jnp.arctan2(a, b)
 
     if cfg.music_highpass:
-        # Ehlers HP: trend T(z) = c(1+z^-1)/(1-alpha z^-1), H = 1 - T.
-        # An input A sin(wt+psi0) emerges as A|H| sin(wt+psi0+argH), so the
-        # true parameters are amp/|H| and psi - argH.
-        import math
-
-        w_hp = 2.0 * math.pi / hp_period
-        alpha = (1.0 - math.sin(w_hp)) / math.cos(w_hp)
-        c = (1.0 - alpha) / 2.0
-        wrad = 2.0 * jnp.pi * freq
-        z_re, z_im = jnp.cos(-wrad), jnp.sin(-wrad)  # z^-1 on unit circle
-        num_re, num_im = c * (1.0 + z_re), c * z_im
-        den_re, den_im = 1.0 - alpha * z_re, -alpha * z_im
-        den2 = den_re * den_re + den_im * den_im
-        t_re = (num_re * den_re + num_im * den_im) / den2
-        t_im = (num_im * den_re - num_re * den_im) / den2
-        h_re, h_im = 1.0 - t_re, -t_im
-        h_mag = jnp.sqrt(h_re * h_re + h_im * h_im)
-        amp = amp / jnp.maximum(h_mag, 0.05)
-        psi = psi - jnp.arctan2(h_im, h_re)
+        amp, psi = hp_gain_compensate(amp, psi, freq, hp_period)
     omega = 2.0 * jnp.pi * freq
     phase_end = omega * (n - 1) + psi
 

@@ -278,7 +278,12 @@ def gpu_extract_cycles(
     sample_rate_seconds: float = 60.0, method: int = 1, ar_order: int = 10,
 ) -> np.ndarray:
     """`gpu_extract_cycles` (`Include/imports.mqh:9-11`): flat stride-15
-    record array [top_k * 15]."""
+    record array [top_k * 15].
+
+    `method`: -1 auto, 0 FFT ridge, 1 MUSIC (the reference's
+    "MUSIC/ESPRIT", `1.1.0:50`), 2 ESPRIT explicitly (TPU-side extension:
+    both subspace estimators exist, records carry method_id=1 either way).
+    """
     _track("gpu_extract_cycles")
     x = np.asarray(series, np.float32)
     cfg = _cfg(len(x), top_k, min_period, max_period, sample_rate_seconds,

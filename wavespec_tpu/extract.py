@@ -71,11 +71,18 @@ METHOD_ID = 14
 
 
 class Method(enum.IntEnum):
-    """`method` parameter of gpu_extract_cycles (`1.1.0:50`)."""
+    """`method` parameter of gpu_extract_cycles (`1.1.0:50`).
+
+    The reference names method 1 "MUSIC/ESPRIT"; ESPRIT is exposed here
+    as its own selector (2) since both subspace estimators exist — their
+    stride-15 records all carry method_id=1 (the subspace family) so the
+    decode-site MusicOnly gate (`1.1.0:1492-1494`) treats them alike.
+    """
 
     AUTO = -1
     FFT_RIDGE = 0
     MUSIC = 1
+    ESPRIT = 2
 
 
 class DetrendMode(enum.IntEnum):
@@ -162,6 +169,12 @@ class ExtractConfig:
                 f"period band [{self.min_period}, {self.max_period}] holds "
                 f"{max(0, n_band)} FFT bins at window {self.window}; "
                 f"need >= top_k = {self.top_k}"
+            )
+        if self.method == Method.ESPRIT and self.ar_order < 2 * self.top_k + 2:
+            raise ValueError(
+                f"ESPRIT needs ar_order >= 2*top_k+2 = {2 * self.top_k + 2} "
+                f"(signal subspace dim 2k plus 2 rows for the rotation), "
+                f"got ar_order={self.ar_order}"
             )
 
 
@@ -399,6 +412,10 @@ def _extract_windows(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
     """
     if cfg.method == Method.FFT_RIDGE:
         return _fft_ridge(windows, cfg)
+    if cfg.method == Method.ESPRIT:
+        from wavespec_tpu.analyze.esprit import esprit_extract
+
+        return esprit_extract(windows, cfg)
     from wavespec_tpu.analyze.music import music_extract
 
     if cfg.method == Method.MUSIC:
@@ -436,6 +453,22 @@ def extract_cycles_batch(
 
     Returns `[nwin, top_k, 15]`.
     """
+    if (
+        cfg.method == Method.ESPRIT
+        and cfg.music_highpass
+        and cfg.detrend == DetrendMode.NONE
+        and cfg.taper == WindowType.NONE
+    ):
+        # Same series-level warm-filter amortization as the MUSIC fast
+        # path below (ESPRIT shares the preconditioning contract).
+        from wavespec_tpu.analyze.esprit import esprit_extract
+        from wavespec_tpu.analyze.music import music_hp_period
+
+        series = series.astype(jnp.float32)
+        series = series - series[..., :1]
+        hp_series = ehlers_highpass_detrend(series, music_hp_period(cfg))
+        windows = frame_series(hp_series, cfg.window, hop)
+        return esprit_extract(windows, cfg, pre_highpassed=True)
     if (
         cfg.method == Method.MUSIC
         and cfg.music_highpass
