@@ -137,3 +137,71 @@ def test_realfft_mode_matches_oracle():
     np.testing.assert_allclose(
         ours["eta_raw"], oracle["eta_raw"], atol=5e-3 * scale
     )
+
+
+# ------------------------------------------------- shipped-defaults gate
+
+def _default_cfg(window):
+    """The SHIPPED defaults: vectorized matcher, n_candidates=24."""
+    return V757Config(
+        window=window, min_period=18.0, max_period=52.0, trend_period=1024,
+        taper=WindowType.BLACKMAN, detrend=DetrendMode.EHLERS,
+        seconds_per_bar=60.0, enable_kalman=False,
+    )
+
+
+def test_default_config_matches_oracle_small_window(both):
+    """Oracle gate for the DEFAULT config (vectorized matcher,
+    n_candidates=24), measured — not asserted. At window 256 the band
+    holds 10 bins: the 24-candidate cut covers every bin and the
+    vectorized matcher reproduces the reference's sequential scan
+    BAR-FOR-BAR (activity, states, colors exact; periods to f32 eps)."""
+    oracle, _ = both
+    series = _price_series()
+    ours = run_v757(series.astype(np.float32), _default_cfg(WINDOW), hop=1)
+    np.testing.assert_array_equal(ours["slot_valid"], oracle["active"])
+    np.testing.assert_array_equal(ours["states"], oracle["states"])
+    np.testing.assert_allclose(
+        ours["slot_period"], oracle["period"], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_default_config_divergence_dense_band_quantified():
+    """Window 1024 puts 37 bins inside the 5% tracker tolerance: the
+    reference's in-frame period drag (each bin re-matches the tracker the
+    PREVIOUS bin just updated) assigns slots differently from the
+    order-free matcher. This pins the measured divergence band of the
+    shipped defaults on the gate series: slot-activity agreement stays
+    >= 97%, per-slot period deltas are LARGE (median ~30% — slots hold
+    different trackers), yet the steady-state slot contents still track
+    the planted 24/40-bar cycles. Documented deviation, not a bug: the
+    defaults trade bar-exact slot assignment for an order-free matcher
+    and a spectrally-meaningful candidate cut."""
+    window, n = 1024, 1524
+    t = np.arange(n)
+    rng = np.random.default_rng(7)
+    series = (
+        100.0
+        + np.cumsum(0.03 * rng.standard_normal(n))
+        + 1.5 * np.sin(2 * np.pi * t / 24.0)
+        + 1.0 * np.sin(2 * np.pi * t / 40.0)
+    )
+    oracle = run_oracle(
+        series, window=window, min_period=18.0, max_period=52.0,
+        trend_period=1024, window_type="blackman", bandwidth=0.5,
+        seconds_per_bar=60.0,
+    )
+    sl = slice(window - 1, None)
+    oracle = {k: v[sl] for k, v in oracle.items()}
+    ours = run_v757(series.astype(np.float32), _default_cfg(window), hop=1)
+
+    activity = (ours["slot_valid"] == oracle["active"]).mean()
+    assert activity >= 0.97, activity
+    both_valid = ours["slot_valid"] & oracle["active"]
+    pd = np.abs(ours["slot_period"][both_valid] - oracle["period"][both_valid])
+    pd = pd / np.maximum(oracle["period"][both_valid], 1e-9)
+    assert 0.1 <= np.median(pd) <= 0.45, np.median(pd)  # the measured band
+    # steady state: the planted cycles live in the slots
+    tail = ours["slot_period"][-50:][ours["slot_valid"][-50:]]
+    assert np.any(np.abs(tail - 24.0) <= 1.5), np.unique(np.round(tail))
+    assert np.any(np.abs(tail - 40.0) <= 2.0), np.unique(np.round(tail))
