@@ -35,7 +35,9 @@ def main() -> None:
 
     def measure(cfg):
         def run(s):
-            return jax.vmap(lambda r: extract_cycles_batch(r, cfg, hop=hop))(s)
+            # batch-native: [S, L] straight in; the Pallas band DFT (when
+            # enabled) tiles series x windows in ONE kernel grid.
+            return extract_cycles_batch(s, cfg, hop=hop)
 
         @partial(jax.jit, static_argnames=("iters",))
         def chain(s, iters: int):

@@ -139,12 +139,16 @@ class ExtractConfig:
     # emerge.
     music_signals_per_band: int = 2
     # Route the ridge path's band DFT through the fused Pallas kernel
-    # (kernels.fused_dft — 1.98x the XLA four-step on the chip). Only
-    # takes effect on a non-CPU backend with window >= 1024; the XLA
-    # path remains the default and the CPU/tests path. NOTE: leave this
-    # off under jax.vmap (multi-series batching) — a vmapped pallas_call
-    # batches poorly and measured 2x SLOWER than the XLA path there.
-    use_pallas_dft: bool = False
+    # (kernels.fused_dft). Default ON: measured on the v5e it is 1.98x
+    # the XLA four-step single-series and 2.85x multi-series (13.4M vs
+    # 4.7M windows/s at 128 series x 4096 pts, benchmarks/
+    # bench_multiseries.py) — `extract_cycles_batch` accepts [S, L]
+    # directly and flattens series x windows into the kernel grid (do
+    # NOT wrap it in jax.vmap instead — a vmapped pallas_call batches
+    # poorly). Only takes effect on a non-CPU backend with window >=
+    # 1024 and a narrow band (wide bands fall back to the XLA path
+    # inside rfft_band_fused_any); CPU/tests always use XLA.
+    use_pallas_dft: bool = True
 
     def __post_init__(self):
         if self.window & (self.window - 1) or self.window < 16:
@@ -370,7 +374,9 @@ def _frame_block(series: jax.Array, length: int, stride: int, n_frames: int) -> 
 
 
 def frame_series(series: jax.Array, window: int, hop: int) -> jax.Array:
-    """Strided window matrix ``[nwin, window]`` from a 1-D series.
+    """Strided window matrix ``[..., nwin, window]`` from a ``[..., n]``
+    series (leading dims are vmapped — slices, so the batch lowering is
+    exact).
 
     TPU note: a naive ``series[idx]`` lowers to a general gather that costs
     ~100x the rest of the extraction pipeline (144 ms vs ~0 at the hop=1
@@ -387,6 +393,11 @@ def frame_series(series: jax.Array, window: int, hop: int) -> jax.Array:
     gather fallback of the arbitrary-hop batch contract
     (`Include/imports.mqh:15-17`) is gone entirely.
     """
+    if series.ndim > 1:
+        fn = lambda s: frame_series(s, window, hop)
+        for _ in range(series.ndim - 1):
+            fn = jax.vmap(fn)
+        return fn(series)
     n = series.shape[-1]
     nwin = 1 + (n - window) // hop
     series = series.astype(jnp.float32)
@@ -443,7 +454,7 @@ def extract_cycles(series: jax.Array, cfg: ExtractConfig = ExtractConfig()) -> j
 def extract_cycles_batch(
     series: jax.Array, cfg: ExtractConfig = ExtractConfig(), hop: int = 1
 ) -> jax.Array:
-    """Rolling-STFT batch extraction over one series.
+    """Rolling-STFT batch extraction over one series — or many.
 
     Parity: `gpu_submit_extract_cycles_batch` (`Include/imports.mqh:15-17`);
     ``nwin = 1 + (len - window)/hop`` windows (`1.1.0:1014-1022`), window w
@@ -451,7 +462,13 @@ def extract_cycles_batch(
     by ONE batched MXU DFT — the per-window job queue of the reference
     collapses into a single fused device program.
 
-    Returns `[nwin, top_k, 15]`.
+    `series` may carry leading batch dims (``[S, L]`` multi-symbol): the
+    series axis rides through framing/preconditioning as a plain batch
+    dim and the spectral core sees a flat series x windows batch — in
+    particular the Pallas band DFT tiles its grid over ALL windows of
+    all series (batch-native, unlike a vmapped pallas_call).
+
+    Returns `[..., nwin, top_k, 15]`.
     """
     if (
         cfg.method == Method.ESPRIT

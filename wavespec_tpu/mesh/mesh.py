@@ -78,14 +78,17 @@ def extract_batch_sharded(
 @partial(jax.jit, static_argnames=("cfg", "hop"))
 def _extract_local(block, cfg: ExtractConfig, hop: int):
     # Jitted so repeat calls to extract_batch_sharded re-trace only the
-    # thin shard wrapper, not the whole vmapped extraction pipeline
-    # (tracing the full jaxpr per call costs seconds of host time).
-    return jax.vmap(lambda s: extract_cycles_batch(s, cfg, hop=hop))(block)
+    # thin shard wrapper, not the whole extraction pipeline (tracing the
+    # full jaxpr per call costs seconds of host time). The [s_local, t]
+    # block goes to extract_cycles_batch DIRECTLY — its series axis is a
+    # native batch dim, so the Pallas band DFT grid tiles over
+    # series x windows instead of a (slow) vmapped pallas_call.
+    return extract_cycles_batch(block, cfg, hop=hop)
 
 
 @partial(jax.jit, static_argnames=("ecfg", "rcfg", "hop"))
 def _pipeline_local(block, ecfg: ExtractConfig, rcfg: ReconstructConfig, hop: int):
-    attrs = jax.vmap(lambda s: extract_cycles_batch(s, ecfg, hop=hop))(block)
+    attrs = extract_cycles_batch(block, ecfg, hop=hop)
     decoded = decode_causal(attrs.reshape(-1, *attrs.shape[-2:]), rcfg)
     nwin = attrs.shape[-3]
     wave = decoded["wave"].reshape(*block.shape[:-1], nwin, -1)

@@ -65,17 +65,28 @@ class V757Config:
 
 @partial(jax.jit, static_argnames=("cfg", "hop"))
 def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
-    """Batched per-frame spectrum work: candidates + group delay at bins."""
+    """Batched per-frame spectrum work: candidates + group delay at bins.
+
+    Band-limited: only bins [0, k_max+2] are computed (`rfft_mxu
+    max_bins`) — every downstream read (candidates in [k_min, k_max],
+    group delay at slot/leak bins <= k_max, whose central differences
+    need one neighbor) lives there, and at the flagship band the cut is
+    ~9x of the DFT + phase/unwrap work. Absolute bin indexing is
+    preserved (the array is a prefix of the full spectrum), and the
+    REALFFT delta_omega constant still uses the FULL n/2 length per the
+    reference's convention.
+    """
     n = cfg.window
+    k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
+    n_bins = min(k_max + 3, n // 2)
     windows = frame_series(series, n, hop)
     if cfg.detrend == DetrendMode.EHLERS:
         windows = ehlers_highpass_detrend(windows, cfg.trend_period)
     if cfg.taper != WindowType.NONE:
         windows = windows * window_coefficients(n, cfg.taper, windows.dtype)
-    spec = rfft_mxu(windows)
+    spec = rfft_mxu(windows, max_bins=n_bins)[..., :n_bins]
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
-    k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
     if cfg.n_candidates == 0:
         # Reference-exact: every in-band bin, ascending index (`:3505-3516`).
         idx = jnp.arange(k_min, min(k_max + 1, n // 2), dtype=jnp.int32)
@@ -84,9 +95,14 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
         cand_valid = jnp.ones_like(cand_power, bool)
         cand_period = n / cand_idx.astype(jnp.float32)
     else:
-        mask = (jnp.arange(n // 2) >= k_min) & (jnp.arange(n // 2) <= k_max)
+        mask = (jnp.arange(n_bins) >= k_min) & (jnp.arange(n_bins) <= k_max)
         inband = jnp.where(mask, power, 0.0)
-        cand_power, cand_idx = jax.lax.top_k(inband, cfg.n_candidates)
+        # Clamp to the bin count: requesting more candidates than bins
+        # previously just yielded zero-power (invalid) rows — identical
+        # tracker behavior, smaller J.
+        cand_power, cand_idx = jax.lax.top_k(
+            inband, min(cfg.n_candidates, n_bins)
+        )
         cand_valid = cand_power > 0
         cand_period = jnp.where(
             cand_valid, n / jnp.maximum(cand_idx.astype(jnp.float32), 1.0), 0.0
@@ -103,7 +119,7 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
     gd_idx = group_delay_index(uw)
     if cfg.eta_mode == EtaMode.REALFFT:
         dphi = -jnp.gradient(uw, axis=-1)
-        gd = dphi / (2.0 * jnp.pi / (n // 2))
+        gd = dphi / (2.0 * jnp.pi / (n // 2))  # FULL length per `:1387`
     elif cfg.eta_mode == EtaMode.HYBRID:
         gd = gd_idx
     else:
