@@ -40,3 +40,28 @@ def test_fused_dft_multiseries_grid_agreement():
     want = np.fft.rfft(x.astype(np.float64), axis=-1)[..., :230]
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-6, rel
+
+
+def test_fused_dft_under_shard_map_vma():
+    """pallas_call inside jax.shard_map must declare output vma or tracing
+    fails with check_vma=True (the default) — which would crash the
+    sharded ridge path (`mesh.extract_batch_sharded`) on a real mesh with
+    the Pallas DFT on. `out_struct` propagates the input's varying set."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from wavespec_tpu.mesh.mesh import make_mesh
+
+    mesh = make_mesh({"data": 2})
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((8, 1024)).astype(np.float32)
+
+    def local(block):  # [4, 1024] per device
+        return rfft_band_fused_any(block, max_bins=130, tile=4,
+                                   interpret=True)
+
+    got = jax.shard_map(local, mesh=mesh, in_specs=P("data", None),
+                        out_specs=P("data", None))(jnp.asarray(x))
+    want = np.fft.rfft(x.astype(np.float64), axis=-1)[..., :130]
+    rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
+    assert rel < 1e-6, rel

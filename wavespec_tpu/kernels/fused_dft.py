@@ -50,6 +50,23 @@ HIGHEST = jax.lax.Precision.HIGHEST
 N1 = 128  # lane-resident DFT length (step 1)
 
 
+def out_struct(shape, dtype, like: jax.Array) -> jax.ShapeDtypeStruct:
+    """ShapeDtypeStruct carrying `like`'s varying-manual-axes set.
+
+    Under `jax.shard_map(..., check_vma=True)` (the default) a
+    pallas_call must declare how its outputs vary across mesh axes, or
+    tracing fails with "vma must not be None" — which would crash the
+    sharded ridge path (`mesh.extract_batch_sharded`) on any real mesh
+    with the Pallas DFT enabled. Outputs vary exactly like the data
+    input, so propagate its vma; outside shard_map this is the empty
+    set and behaves like a plain ShapeDtypeStruct.
+    """
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma is None:  # older JAX: no vma concept
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 @lru_cache(maxsize=32)
 def _plan_t(n: int, n_k2: int):
     """Constant matrices for the transposed factorization n = 128 x n2."""
@@ -137,9 +154,17 @@ def rfft_band_fused(
 
     kernel = partial(_kernel, n2=n2, n_k2=n_k2, tile=tile)
     out_shape = [
-        jax.ShapeDtypeStruct((n_k2, b, N1), jnp.float32),
-        jax.ShapeDtypeStruct((n_k2, b, N1), jnp.float32),
+        out_struct((n_k2, b, N1), jnp.float32, xt),
+        out_struct((n_k2, b, N1), jnp.float32, xt),
     ]
+    # Under shard_map the window input varies over mesh axes while the DFT
+    # constants don't; promote the constants to the same varying set
+    # (pvary is a data no-op) so the kernel's dot_generals see matching
+    # vma — without this the sharded ridge path fails vma checking (see rfft_band_fused_any for the interpret-mode caveat).
+    vma = getattr(jax.typeof(xt), "vma", None) or frozenset()
+    consts = [jnp.asarray(c) for c in (f1r, f1i, ur, ui, f2r, f2i)]
+    if vma:
+        consts = [jax.lax.pvary(c, tuple(vma)) for c in consts]
     re, im = pl.pallas_call(
         kernel,
         grid=grid,
@@ -149,8 +174,7 @@ def rfft_band_fused(
         out_specs=[out_spec, out_spec],
         out_shape=out_shape,
         interpret=interpret,
-    )(xt, jnp.asarray(f1r), jnp.asarray(f1i), jnp.asarray(ur),
-      jnp.asarray(ui), jnp.asarray(f2r), jnp.asarray(f2i))
+    )(xt, *consts)
 
     # [k2, B, k1] -> [B, k2, k1] -> [B, k2*128 + k1] = natural bin order
     re_b = jnp.transpose(re, (1, 0, 2)).reshape(b, n_k2 * N1)
@@ -183,7 +207,14 @@ def rfft_band_fused_any(
     # four-step, which is within 2x of the kernel anyway and handles
     # every shape.
     n_k2 = -(-max_bins // N1)
-    if n_k2 > 4:
+    # Interpret mode inside shard_map: the Pallas HLO interpreter's grid
+    # loop cannot carry varying-manual-axes outputs (its init carry is
+    # built unvarying — JAX 0.9 limitation), so that test-only combination
+    # routes to the XLA path. The REAL lowering takes the declared output
+    # vma (out_struct) and runs sharded fine (verified on-chip via
+    # benchmarks/bench_config5.py).
+    under_shard_map = bool(getattr(jax.typeof(windows), "vma", None))
+    if n_k2 > 4 or (interpret and under_shard_map):
         from wavespec_tpu.kernels.mxu_fft import rfft_mxu
 
         return rfft_mxu(windows, max_bins=max_bins)[..., :max_bins]
