@@ -57,22 +57,19 @@ def jacobi_eigh(a: jax.Array, sweeps: int = 6):
     with column j the eigenvector of eigenvalue j), matching
     `numpy.linalg.eigh` conventions.
 
-    Routing (resolved at trace time — shapes and backend are static):
-    small device batches go through ONE Pallas launch with every sweep
-    unrolled in-kernel (kernels.jacobi_pallas) instead of ~50 small fused
-    XLA kernels. At the serving shape (B = n_bands = 3) that measures
-    ~0-5 us vs 94-165 us for the best XLA formulation — the dominant
-    term of the MUSIC batch=1 latency (VERDICT r2 #5). Large batches
-    keep the XLA fori path (launch overhead amortizes; no Mosaic compile
-    wait), and CPU/tests always do. NOTE: do not call this under
-    jax.vmap with a small inner batch on device — a vmapped pallas_call
-    batches poorly; flatten the batch into the leading dims instead
-    (nothing in-tree vmaps it: the v757 symbol vmap is FFT-based).
+    Routing (resolved at trace time — backend is static): on a real
+    device, ONE Pallas launch with every sweep unrolled in-kernel
+    (kernels.jacobi_pallas) instead of ~50 small fused XLA kernels. It
+    wins at EVERY batch size on the v5e (benchmarks/bench_jacobi_batch.py:
+    B=3 56 us vs 252 us XLA — the dominant term of the MUSIC batch=1
+    latency, VERDICT r2 #5 — B=1536 358 vs 517, B=6144 1213 vs 2057),
+    so there is no threshold. CPU/tests always take the XLA fori path.
+    NOTE: do not call this under jax.vmap with a small inner batch on
+    device — a vmapped pallas_call batches poorly; flatten the batch
+    into the leading dims instead (nothing in-tree vmaps it: the v757
+    symbol vmap is FFT-based).
     """
-    b = 1
-    for d in a.shape[:-2]:
-        b *= d
-    if b <= 64 and jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu":
         from wavespec_tpu.kernels.jacobi_pallas import jacobi_eigh_pallas
 
         return jacobi_eigh_pallas(a, sweeps=sweeps)

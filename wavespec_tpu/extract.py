@@ -149,6 +149,15 @@ class ExtractConfig:
     # 1024 and a narrow band (wide bands fall back to the XLA path
     # inside rfft_band_fused_any); CPU/tests always use XLA.
     use_pallas_dft: bool = True
+    # Batch ridge path: compute the band spectra of overlapping windows
+    # via the overlap-shared hopped DFT (kernels.hopped_dft) — identical
+    # spectra (~2e-7 vs float64) with ~window/hop fewer FLOPs and NO
+    # [nwin, window] frame materialization (the measured bottleneck of
+    # the rolling-STFT workload, benchmarks/profile_ridge.py). Applies in
+    # `extract_cycles_batch` when the method is FFT_RIDGE with no
+    # per-window preconditioning and `hopped_eligible(window, hop)`;
+    # per-window attrs are bitwise append-invariant like the framed path.
+    use_hopped_dft: bool = True
 
     def __post_init__(self):
         if self.window & (self.window - 1) or self.window < 16:
@@ -229,7 +238,8 @@ def _attrs_from_peaks(
     total = jnp.maximum(total_inband[..., None], eps)
     energy_ratio = jnp.clip(power / total, 0.0, 1.0)
     residual = jnp.clip(
-        1.0 - jnp.sum(jnp.where(valid, power, 0.0), axis=-1) / jnp.squeeze(total, -1),
+        1.0
+        - _stable_row_sum(jnp.where(valid, power, 0.0)) / jnp.squeeze(total, -1),
         0.0,
         1.0,
     )[..., None] * jnp.ones_like(power)
@@ -284,11 +294,42 @@ def _fft_ridge(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
         spec = rfft_band_fused_any(windows, max_bins=k_max + 3)
     else:
         spec = rfft_mxu(windows, max_bins=k_max + 3)
+    return _ridge_attrs_from_spec(spec, cfg)
+
+
+def _stable_row_sum(a: jax.Array) -> jax.Array:
+    """Append-invariant sum over the last axis.
+
+    ``jnp.sum``'s reduce emitter changes per-row rounding when the
+    leading (row-count) dimension crosses size thresholds, which would
+    let appending bars perturb earlier windows' noise-floor-derived
+    attrs by ~1 ulp and break the bitwise no-repaint invariant on the
+    hopped-DFT ridge path. A fixed-order pairwise halving tree uses only
+    elementwise adds — each correctly rounded with an order fixed by the
+    graph — so every row's sum is independent of the batch shape by
+    construction (a dot-against-ones is NOT safe: the algebraic
+    simplifier rewrites it back into a reduce).
+    """
+    nb = a.shape[-1]
+    size = 1 << max(nb - 1, 0).bit_length()
+    x = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, size - nb)])
+    while size > 1:
+        size //= 2
+        x = x[..., :size] + x[..., size:]
+    return x[..., 0]
+
+
+def _ridge_attrs_from_spec(spec: jax.Array, cfg: ExtractConfig) -> jax.Array:
+    """Ridge attrs from an already-computed band spectrum [..., >=k_max+3]
+    (bins 0..k_max+2 of the window rFFT). Shared by the framed path above
+    and the overlap-shared hopped DFT in `extract_cycles_batch`."""
+    n = cfg.window
+    k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
     # Static band slice: the top-k/sum run over the ~200 in-band bins.
     band_p = power[..., k_min : k_max + 1]
-    total_inband = jnp.sum(band_p, axis=-1)
+    total_inband = _stable_row_sum(band_p)
     n_band = float(k_max - k_min + 1)
 
     peak_p, band_idx = jax.lax.top_k(band_p, cfg.top_k)  # [..., k]
@@ -296,7 +337,7 @@ def _fft_ridge(windows: jax.Array, cfg: ExtractConfig) -> jax.Array:
     valid = peak_p > 0
 
     # Noise floor: mean in-band power excluding the top-k peaks.
-    picked = jnp.sum(peak_p, axis=-1)
+    picked = _stable_row_sum(peak_p)
     denom = max(n_band - cfg.top_k, 1.0)
     noise_floor = jnp.maximum(total_inband - picked, 0.0) / denom
 
@@ -470,6 +511,24 @@ def extract_cycles_batch(
 
     Returns `[..., nwin, top_k, 15]`.
     """
+    if (
+        cfg.method == Method.FFT_RIDGE
+        and cfg.use_hopped_dft
+        and cfg.detrend == DetrendMode.NONE
+        and cfg.taper == WindowType.NONE
+    ):
+        from wavespec_tpu.kernels.hopped_dft import hopped_eligible, rfft_band_hopped
+
+        if hopped_eligible(cfg.window, hop):
+            # Overlap-shared ridge fast path: the band spectra of all
+            # rolling windows come from per-128-sample-row partial
+            # transforms shared across overlapping windows — no frame
+            # matrix, ~window/hop fewer FLOPs, same spectra to ~2e-7.
+            _, k_max = band_indices(cfg.window, cfg.min_period, cfg.max_period)
+            spec = rfft_band_hopped(
+                series.astype(jnp.float32), cfg.window, hop, k_max + 3
+            )
+            return _ridge_attrs_from_spec(spec, cfg)
     if (
         cfg.method == Method.ESPRIT
         and cfg.music_highpass

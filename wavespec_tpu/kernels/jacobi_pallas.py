@@ -8,7 +8,13 @@ measures ~94-165 us at B=3 on the v5e — nearly all launch/boundary
 overhead. This kernel runs the SAME parallel-ordering cyclic Jacobi
 (wavespec_tpu.analyze.jacobi) with every sweep unrolled INSIDE one
 Pallas program: one launch, all rotations on VMEM-resident [m, m, 128]
-tiles with the batch on the lanes.
+tiles with the batch on the lanes, gridded over 128-lane batch tiles.
+
+It is the device eigh at EVERY batch size, not just serving
+(benchmarks/bench_jacobi_batch.py on the v5e: B=3 56 us vs 252 us XLA,
+B=1536 — the flagship MUSIC bench shape — 358 vs 517, B=6144 1213 vs
+2057), so `analyze.jacobi.jacobi_eigh` routes here unconditionally on
+non-CPU backends.
 
 Differences vs the XLA path (documented, test-gated):
 - rotation angles use the half-angle closed form (c = sqrt((1+x/r)/2),
