@@ -89,6 +89,50 @@ def main() -> None:
               flush=True)
         prev = per
 
+    # ---- hopped path (the production default after round 3) ----
+    from wavespec_tpu.extract import _ridge_attrs_from_spec
+    from wavespec_tpu.kernels.hopped_dft import rfft_band_hopped
+
+    def stage_h(s, upto: str):
+        spec = rfft_band_hopped(s, window, hop, k_max + 3)
+        if upto == "h_spec":
+            return jnp.sum(jnp.real(spec)) + jnp.sum(jnp.imag(spec))
+        if upto == "h_power":
+            power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+            return jnp.sum(power[..., k_min : k_max + 1])
+        return jnp.sum(_ridge_attrs_from_spec(spec, cfg))
+
+    def timed_h(upto):
+        @partial(jax.jit, static_argnames=("iters",))
+        def chain(s, iters: int):
+            def body(_, carry):
+                s, acc = carry
+                tot = stage_h(s, upto)
+                return s * (1.0 + 0.0 * tot), acc + tot
+            _, acc = jax.lax.fori_loop(0, iters, body, (s, 0.0))
+            return acc
+
+        float(np.asarray(chain(x, 1)))
+        float(np.asarray(chain(x, 11)))
+
+        def leg(iters):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(np.asarray(chain(x, iters)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (leg(11) - leg(1)) / 10
+
+    prev = 0.0
+    for upto in ["h_spec", "h_power", "h_attrs"]:
+        per = timed_h(upto)
+        print(f"{upto:>7}: {per*1e3:8.2f} ms cumulative "
+              f"(+{(per-prev)*1e3:7.2f} ms) -> {nwin/per:9.0f} win/s",
+              flush=True)
+        prev = per
+
 
 if __name__ == "__main__":
     main()
