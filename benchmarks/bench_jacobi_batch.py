@@ -9,8 +9,12 @@ should go up.
 Timing: jitted dependent chain + one scalar readback (see bench.py).
 """
 
+import sys
 import time
 from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 

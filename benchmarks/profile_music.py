@@ -26,6 +26,7 @@ def main() -> None:
     from wavespec_tpu.analyze import music as M
     from wavespec_tpu.extract import ExtractConfig, Method, frame_series
     from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
+    from wavespec_tpu.kernels.hopped_dft import hopped_eligible, rfft_band_hopped
 
     window, hop, nwin = 4096, 64, 512
     slen = window + (nwin - 1) * hop
@@ -56,8 +57,17 @@ def main() -> None:
         if upto == "hp+frame":
             return jnp.sum(windows)
         band_w = M.band_precondition_windows(hp_series, cfg, hop)
+        # Ridge seeds via the hopped DFT, exactly like the production
+        # batch fast path (extract_cycles_batch).
+        seed_spec = None
+        if hopped_eligible(cfg.window, hop):
+            from wavespec_tpu.ops.spectrum import band_indices
+            _, k_max_fb = band_indices(cfg.window, cfg.min_period,
+                                       cfg.max_period)
+            seed_spec = rfft_band_hopped(hp_series, cfg.window, hop,
+                                         k_max_fb + 1)
         st = M.music_candidates(
-            windows, cfg, band_windows=band_w,
+            windows, cfg, band_windows=band_w, seed_spec=seed_spec,
             upto=None if upto == "fit" else upto,
         )
         tot = jnp.asarray(0.0, jnp.float32)

@@ -466,3 +466,21 @@ def test_esprit_topk_exceeding_true_count():
         assert any(abs(v - 1 / 50.0) / (1 / 50.0) < 0.02 for v in f), (fn, f)
         mid = 0.5 * (1 / 20.0 + 1 / 50.0)
         assert not any(abs(v - mid) / mid < 0.05 for v in f), (fn, f)
+
+
+def test_music_batch_hopped_seeds_match_framed_seeds():
+    """The MUSIC batch fast path's ridge seeds may come from the
+    overlap-shared hopped DFT (kernels.hopped_dft) instead of a framed
+    MXU DFT; the two spectra agree to ~2e-7, so the extracted attrs must
+    agree to float noise on the estimator core."""
+    import dataclasses
+
+    cfg = music_cfg(top_k=3, use_hopped_dft=True)
+    series = planted_series(1024 + 4 * 128, [(1.0, 50.0, 0.1), (0.5, 121.3, 0.8)],
+                            noise=0.05, seed=11)
+    a = np.asarray(extract_cycles_batch(jnp.asarray(series), cfg, hop=128))
+    cfg_f = dataclasses.replace(cfg, use_hopped_dft=False)
+    b = np.asarray(extract_cycles_batch(jnp.asarray(series), cfg_f, hop=128))
+    assert a.shape == b.shape
+    # amplitude/freq/period/phase/eta of every valid pick
+    np.testing.assert_allclose(a[..., :6], b[..., :6], rtol=1e-4, atol=1e-5)

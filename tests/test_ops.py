@@ -229,3 +229,24 @@ def test_group_delay_of_delayed_impulse():
     spec = ops.rfft_bins(jnp.asarray(x))
     _, uw, gd = ops.phase_analysis(spec)
     np.testing.assert_allclose(np.asarray(gd[1:-1]), d, atol=0.5)
+
+
+def test_ehlers_highpass_stacked_matches_scalar():
+    """One stacked scan over R cutoff periods == R scalar filter calls
+    (the MUSIC per-band preconditioning relies on exact per-row parity)."""
+    x = jnp.asarray(np.cumsum(rng(7).standard_normal(777)), jnp.float32)
+    periods = (38, 107, 300)
+    stacked = np.asarray(ops.ehlers_highpass_detrend_stacked(x, periods))
+    assert stacked.shape == (3, 777)
+    for r, p in enumerate(periods):
+        want = np.asarray(ops.ehlers_highpass_detrend(x, p))
+        np.testing.assert_allclose(stacked[r], want, rtol=1e-6, atol=1e-6)
+
+
+def test_ehlers_highpass_stacked_batched():
+    x = jnp.asarray(rng(8).standard_normal((2, 4, 256)), jnp.float32)
+    periods = (32, 64)
+    stacked = np.asarray(ops.ehlers_highpass_detrend_stacked(x, periods))
+    assert stacked.shape == (2, 4, 2, 256)
+    want = np.asarray(ops.ehlers_highpass_detrend(x[1, 2], 64))
+    np.testing.assert_allclose(stacked[1, 2, 1], want, rtol=1e-6, atol=1e-6)

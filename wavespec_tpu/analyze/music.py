@@ -184,12 +184,17 @@ def band_precondition_windows(series: jax.Array, cfg, hop: int):
     `music_pseudospectrum`'s `band_windows` parameter.
     """
     from wavespec_tpu.extract import frame_series  # circular-safe
+    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_stacked
 
+    bands = _band_plan(cfg)
+    periods = tuple(max(4, int(1.5 * hi)) for (_, hi, _) in bands)
+    # All R band filters in ONE associative scan (per-row results match
+    # the scalar filter); framing also batches over the band axis.
+    hp_all = ehlers_highpass_detrend_stacked(series, periods)  # [..., R, L]
+    w_all = frame_series(hp_all, cfg.window, hop)  # [..., R, nwin, n]
     outs = []
-    for (_, hi, d) in _band_plan(cfg):
-        hp_b = ehlers_highpass_detrend(series, max(4, int(1.5 * hi)))
-        w = frame_series(hp_b, cfg.window, hop)
-        outs.append(_decimate_box(w, d))
+    for bi, (_, _, d) in enumerate(bands):
+        outs.append(_decimate_box(w_all[..., bi, :, :], d))
     return tuple(outs)
 
 
@@ -608,7 +613,7 @@ def _sinusoid_fit(windows: jax.Array, freq: jax.Array,
 
 
 def music_candidates(windows: jax.Array, cfg, band_windows=None,
-                     upto: str | None = None) -> dict:
+                     seed_spec=None, upto: str | None = None) -> dict:
     """The MUSIC candidate pipeline: pseudospectrum -> per-band peaks ->
     ridge seeds -> pre-rank -> parabolic refine -> LS fit.
 
@@ -617,6 +622,14 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
     truncated prefixes via `upto` (one of "pseudo", "peaks", "ridge",
     "prerank", "refine"; None runs everything) instead of duplicating
     the stage code. Returns a dict of whatever exists at the stop point.
+
+    `seed_spec`: optional precomputed complex spectrum of `windows`
+    covering at least bins [0, floor(n/min_period)] — the rolling-STFT
+    batch path passes the overlap-shared hopped band DFT of the
+    preconditioned series here (`kernels.hopped_dft`), replacing the
+    framed-window MXU DFT that was ~26% of the flagship batch budget
+    (same spectra to ~2e-7; seeds only steer candidate selection and
+    pre-ranking, the fit always re-reads the windows).
     """
     n = cfg.window
     k = cfg.top_k
@@ -655,8 +668,9 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
     from wavespec_tpu.kernels.mxu_fft import rfft_mxu
 
     k_min_fb, k_max_fb = band_indices(n, cfg.min_period, cfg.max_period)
-    spec_fb = rfft_mxu(windows, max_bins=k_max_fb + 1)
-    band_power = (jnp.real(spec_fb) ** 2 + jnp.imag(spec_fb) ** 2)[
+    if seed_spec is None:
+        seed_spec = rfft_mxu(windows, max_bins=k_max_fb + 1)
+    band_power = (jnp.real(seed_spec) ** 2 + jnp.imag(seed_spec) ** 2)[
         ..., k_min_fb : k_max_fb + 1
     ]
     rp, ridx = jax.lax.top_k(band_power, k)
@@ -782,7 +796,7 @@ def hp_gain_compensate(amp: jax.Array, psi: jax.Array, freq: jax.Array,
 
 
 def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
-                  band_windows=None) -> jax.Array:
+                  band_windows=None, seed_spec=None) -> jax.Array:
     """MUSIC extraction over preconditioned windows ``[..., n]``.
 
     Returns ``[..., top_k, 15]`` stride-15 attrs with method_id=1.
@@ -824,7 +838,8 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
         windows = windows - windows[..., :1]
         windows = ehlers_highpass_detrend(windows, hp_period)
 
-    st = music_candidates(windows, cfg, band_windows=band_windows)
+    st = music_candidates(windows, cfg, band_windows=band_windows,
+                          seed_spec=seed_spec)
     pseudo, eigvals = st["pseudo"], st["eigvals"]
     freq, valid, gidx, vals = st["freq"], st["valid"], st["gidx"], st["vals"]
     a, b, resid_energy = st["a"], st["b"], st["resid_energy"]

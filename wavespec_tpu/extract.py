@@ -575,8 +575,27 @@ def extract_cycles_batch(
         hp_series = ehlers_highpass_detrend(series, music_hp_period(cfg))
         windows = frame_series(hp_series, cfg.window, hop)
         band_w = band_precondition_windows(hp_series, cfg, hop)
+        # Ridge-seed spectra via the overlap-shared hopped DFT when the
+        # hop allows it: same band spectra as the framed MXU DFT to
+        # ~2e-7 at ~window/hop fewer FLOPs and no frame re-read — the
+        # framed DFT was ~26% of the flagship batch budget on-chip.
+        seed_spec = None
+        if cfg.use_hopped_dft:
+            from wavespec_tpu.kernels.hopped_dft import (
+                hopped_eligible,
+                rfft_band_hopped,
+            )
+
+            if hopped_eligible(cfg.window, hop):
+                _, k_max_fb = band_indices(
+                    cfg.window, cfg.min_period, cfg.max_period
+                )
+                seed_spec = rfft_band_hopped(
+                    hp_series, cfg.window, hop, k_max_fb + 1
+                )
         return music_extract(
-            windows, cfg, pre_highpassed=True, band_windows=band_w
+            windows, cfg, pre_highpassed=True, band_windows=band_w,
+            seed_spec=seed_spec,
         )
     windows = frame_series(series, cfg.window, hop)
     windows = _precondition(windows, cfg)

@@ -7,8 +7,10 @@ fused kernels (54 sequential rotation rounds), and even fully unrolled
 measures ~94-165 us at B=3 on the v5e — nearly all launch/boundary
 overhead. This kernel runs the SAME parallel-ordering cyclic Jacobi
 (wavespec_tpu.analyze.jacobi) with every sweep unrolled INSIDE one
-Pallas program: one launch, all rotations on VMEM-resident [m, m, 128]
-tiles with the batch on the lanes, gridded over 128-lane batch tiles.
+Pallas program: one launch, all rotations on VMEM-resident
+[m, m, 8, 128] tiles with the batch tiled over full (8, 128) vregs
+(sublanes x lanes — a [1, B] lanes-only layout wastes 7/8 of every
+vector op), gridded over 1024-matrix batch tiles.
 
 It is the device eigh at EVERY batch size, not just serving
 (benchmarks/bench_jacobi_batch.py on the v5e: B=3 56 us vs 252 us XLA,
@@ -46,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from wavespec_tpu.kernels.fused_dft import out_struct
 
 LANES = 128
+SUBLANES = 8
 
 
 def _rotation_cs(a_pq, a_qq_minus_pp):
@@ -75,8 +78,13 @@ def _rotation_cs(a_pq, a_qq_minus_pp):
 
 
 def _kernel(a_ref, vals_ref, vecs_ref, *, m: int, sweeps: int, rounds):
-    mat = a_ref[:]  # [m, m, B]
-    vecs = jnp.zeros_like(mat) + jnp.eye(m, dtype=jnp.float32)[:, :, None]
+    mat = a_ref[:]  # [m, m, SUBLANES, LANES]
+    # Identity at full tile shape via two iotas (Mosaic rejects the
+    # vector<m x m> -> vector<m x m x 1 x 1> shape cast a broadcasted
+    # jnp.eye would need).
+    ii = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 1)
+    vecs = jnp.where(ii == jj, 1.0, 0.0).astype(jnp.float32)
 
     def apply_round(mat, vecs, pairs):
         cs = {}
@@ -121,34 +129,41 @@ def jacobi_eigh_pallas(a: jax.Array, sweeps: int = 6, interpret: bool = False):
     batch = a.shape[:-2]
     mat = jnp.moveaxis(a.reshape(-1, m, m).astype(jnp.float32), 0, -1)
     b = mat.shape[-1]
-    b_pad = -(-b // LANES) * LANES
+    # Tile the batch as [..., SUBLANES, LANES]: every rotation op then
+    # fills a whole (8, 128) vreg instead of one sublane of it — 8x the
+    # batch per grid step at the same unrolled op count (B=1536 went
+    # 12 -> 2 grid steps). Latency at tiny batches is unchanged (the
+    # VPU runs full vregs either way).
+    b_tile = SUBLANES * LANES
+    b_pad = -(-b // b_tile) * b_tile
     if b_pad != b:
         # Diagonal padding keeps the rotations harmlessly trivial there.
         pad = jnp.zeros((m, m, b_pad - b), jnp.float32) + \
             jnp.eye(m, dtype=jnp.float32)[:, :, None]
         mat = jnp.concatenate([mat, pad], axis=-1)
+    mat = mat.reshape(m, m, b_pad // LANES, LANES)
 
     rounds = _round_robin_pairs(m)
     kernel = partial(_kernel, m=m, sweeps=sweeps, rounds=rounds)
-    grid = (b_pad // LANES,)
-    spec3 = pl.BlockSpec((m, m, LANES), lambda i: (0, 0, i),
+    grid = (b_pad // b_tile,)
+    spec4 = pl.BlockSpec((m, m, SUBLANES, LANES), lambda i: (0, 0, i, 0),
                          memory_space=pltpu.VMEM)
-    spec2 = pl.BlockSpec((m, LANES), lambda i: (0, i),
+    spec3 = pl.BlockSpec((m, SUBLANES, LANES), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     vals, vecs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec3],
-        out_specs=[spec2, spec3],
+        in_specs=[spec4],
+        out_specs=[spec3, spec4],
         out_shape=[
-            out_struct((m, b_pad), jnp.float32, mat),
-            out_struct((m, m, b_pad), jnp.float32, mat),
+            out_struct((m, b_pad // LANES, LANES), jnp.float32, mat),
+            out_struct((m, m, b_pad // LANES, LANES), jnp.float32, mat),
         ],
         interpret=interpret,
     )(mat)
 
-    eigvals = jnp.moveaxis(vals[:, :b], -1, 0)       # [B, m]
-    vecs = jnp.moveaxis(vecs[:, :, :b], -1, 0)       # [B, m, m]
+    eigvals = jnp.moveaxis(vals.reshape(m, b_pad)[:, :b], -1, 0)   # [B, m]
+    vecs = jnp.moveaxis(vecs.reshape(m, m, b_pad)[:, :, :b], -1, 0)
     order = jnp.argsort(eigvals, axis=-1)
     eigvals = jnp.take_along_axis(eigvals, order, axis=-1)
     vecs = jnp.take_along_axis(vecs, order[:, None, :], axis=-1)

@@ -5,6 +5,7 @@ from wavespec_tpu.ops import preproc
 from wavespec_tpu.ops.detrend import (
     DcMode,
     ehlers_highpass_detrend,
+    ehlers_highpass_detrend_stacked,
     linear_detrend,
     linear_trend_fit,
     remove_dc,
@@ -34,6 +35,7 @@ __all__ = [
     "band_indices",
     "band_mask",
     "ehlers_highpass_detrend",
+    "ehlers_highpass_detrend_stacked",
     "fft_phase",
     "group_delay",
     "irfft_from_bins",

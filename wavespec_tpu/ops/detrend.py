@@ -55,6 +55,29 @@ def ehlers_highpass_detrend(price: jax.Array, trend_period: int = 1024) -> jax.A
     return price - trend
 
 
+@partial(jax.jit, static_argnames=("periods",))
+def ehlers_highpass_detrend_stacked(
+    price: jax.Array, periods: tuple[int, ...]
+) -> jax.Array:
+    """`ehlers_highpass_detrend` at several cutoff periods in ONE scan.
+
+    Returns ``[..., R, L]`` where row r filters the SAME input at
+    ``periods[r]`` — per-row results match the scalar function (the
+    recurrence coefficients are elementwise, so stacking rows changes
+    neither the combine tree nor the per-row arithmetic). The MUSIC
+    per-band preconditioning otherwise runs R sequential length-L
+    associative scans whose cost is scan-depth latency, not FLOPs.
+    """
+    w = 2.0 * jnp.pi / jnp.asarray(periods, price.dtype)   # [R]
+    alpha = (1.0 - jnp.sin(w)) / jnp.cos(w)
+    c = (1.0 - alpha) / 2.0
+    prev = jnp.concatenate([price[..., :1], price[..., :-1]], axis=-1)
+    b = c[:, None] * (price[..., None, :] + prev[..., None, :])
+    a = jnp.broadcast_to(alpha[:, None], b.shape)
+    trend = _linear_recurrence(a, b)
+    return price[..., None, :] - trend
+
+
 class DcMode(enum.IntEnum):
     """`gpu_remove_dc_time_series` mode ids (mode 0 = mean removal default)."""
 
