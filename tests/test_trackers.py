@@ -142,3 +142,62 @@ def test_valid_zero_period_candidate_does_not_allocate():
     valid = jnp.ones((1, j), bool)
     _, state = track_frames(periods, powers, fft, valid, cfg=TrackerConfig())
     assert np.asarray(state.alive).sum() == 1
+
+
+def _random_candidate_stream(t=40, j=6, seed=0, batch=()):
+    """Adversarial candidate stream: clustered periods (tolerance
+    collisions), dropouts (inactive kills), power inversions (slot
+    churn), and tiny leak periods (leak machinery)."""
+    rng = np.random.default_rng(seed)
+    shape = (*batch, t, j)
+    base = rng.choice([20.0, 21.0, 35.0, 36.5, 60.0, 9.0], size=shape)
+    periods = (base * (1 + 0.02 * rng.standard_normal(shape))).astype(np.float32)
+    powers = rng.gamma(2.0, 2.0, size=shape).astype(np.float32)
+    valid = rng.random(shape) > 0.25
+    fft = (4096 / np.maximum(periods, 1.0)).astype(np.int32)
+    periods = np.where(valid, periods, 0.0).astype(np.float32)
+    powers = np.where(valid, powers, 0.0).astype(np.float32)
+    return (jnp.asarray(periods), jnp.asarray(powers), jnp.asarray(fft),
+            jnp.asarray(valid))
+
+
+def test_tracker_pallas_interpret_matches_xla_scan():
+    """The single-launch Pallas tracker (kernels.tracker_pallas) must
+    reproduce the XLA scan bit-for-bit on every output and the final
+    state — same matcher semantics, same tie-breaks, same uid order."""
+    from wavespec_tpu.kernels.tracker_pallas import track_frames_pallas
+
+    cfg = TrackerConfig(capacity=16, leak_min_bars=2)
+    frames = _random_candidate_stream(t=50, j=6, seed=3)
+    want, wstate = track_frames(*frames, cfg=cfg)
+    got, gstate = track_frames_pallas(*frames, cfg, interpret=True)
+    for k in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+        )
+    for f in wstate._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(gstate, f)), np.asarray(getattr(wstate, f)),
+            err_msg=f,
+        )
+
+
+def test_tracker_pallas_interpret_batched():
+    """Leading batch dims ride the lanes; every symbol matches its own
+    single-series run exactly."""
+    from wavespec_tpu.kernels.tracker_pallas import track_frames_pallas
+
+    cfg = TrackerConfig(capacity=16)
+    frames = _random_candidate_stream(t=30, j=5, seed=7, batch=(3,))
+    got, gstate = track_frames_pallas(*frames, cfg, interpret=True)
+    for bidx in range(3):
+        single = tuple(f[bidx] for f in frames)
+        want, wstate = track_frames(*single, cfg=cfg)
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(got[k][bidx]), np.asarray(want[k]),
+                err_msg=f"{k}[{bidx}]",
+            )
+        np.testing.assert_array_equal(
+            np.asarray(gstate.uid[bidx]), np.asarray(wstate.uid))
+        assert int(gstate.next_uid[bidx]) == int(wstate.next_uid)

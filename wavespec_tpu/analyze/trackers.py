@@ -378,14 +378,37 @@ def _slots_and_leaks(
 
 @partial(jax.jit, static_argnames=("cfg",))
 def track_frames(
-    cand_periods: jax.Array,   # [T, J]
-    cand_powers: jax.Array,    # [T, J]
-    cand_fft_idx: jax.Array,   # [T, J] int32
-    cand_valid: jax.Array,     # [T, J] bool
+    cand_periods: jax.Array,   # [..., T, J]
+    cand_powers: jax.Array,    # [..., T, J]
+    cand_fft_idx: jax.Array,   # [..., T, J] int32
+    cand_valid: jax.Array,     # [..., T, J] bool
     cfg: TrackerConfig = TrackerConfig(),
 ):
     """Run the tracker over T frames of candidates; returns per-frame slot
-    outputs (dict of [T, n_slots] arrays) and the final state."""
+    outputs (dict of [..., T, n_slots] arrays) and the final state.
+
+    Leading dims are a symbol batch. Routing (trace-time, like
+    `jacobi.jacobi_eigh`): on a real device the vectorized matcher runs
+    as ONE Pallas launch with the whole batch on the VPU lanes and the
+    frame axis streamed through the grid (`kernels.tracker_pallas`) —
+    the `lax.scan` body is ~a hundred tiny fused ops whose per-step
+    dispatch latency dominated the v757 device budget (~13.7 us/frame
+    single series, +103 ms of the 272 ms B=64 batch). CPU/tests and the
+    reference-exact sequential matcher keep the XLA scan (vmapped over
+    leading dims).
+    """
+    if not cfg.sequential_match and jax.default_backend() != "cpu":
+        from wavespec_tpu.kernels.tracker_pallas import track_frames_pallas
+
+        return track_frames_pallas(
+            cand_periods, cand_powers, cand_fft_idx, cand_valid, cfg
+        )
+
+    if cand_periods.ndim > 2:
+        fn = lambda p, w, f, v: track_frames(p, w, f, v, cfg=cfg)
+        for _ in range(cand_periods.ndim - 2):
+            fn = jax.vmap(fn)
+        return fn(cand_periods, cand_powers, cand_fft_idx, cand_valid)
 
     def step(state, frame):
         return tracker_step(state, frame, cfg)

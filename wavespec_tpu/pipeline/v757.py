@@ -139,18 +139,28 @@ def _v757_device(
     the per-frame state machines are pure `lax.scan`s, so the symbol axis
     vectorizes with no cross-symbol interaction.
     """
-    n_slots = cfg.tracker.n_slots
-
     # 1) batched spectral frames + candidates
-    cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx = _spectral_frames(
-        series, cfg, hop
-    )
-    t_frames = cand_period.shape[0]
+    spectral = _spectral_frames(series, cfg, hop)
 
-    # 2) trackers / stable slots / leaks (scan over frames)
+    # 2) trackers / stable slots / leaks (one Pallas launch on device;
+    # scan over frames on CPU — see `track_frames`)
     slots, _state = track_frames(
-        cand_period, cand_power, cand_idx, cand_valid, cfg=cfg.tracker
+        spectral[0], spectral[1], spectral[2], spectral[3], cfg=cfg.tracker
     )
+    return _v757_tail(series, spectral, slots, cfg, hop)
+
+
+def _v757_tail(
+    series: jax.Array, spectral, slots, cfg: V757Config, hop: int
+) -> dict[str, jax.Array]:
+    """Stages 3-6 (biquad, ETA, signals, Kalman) for ONE series.
+
+    Split from `_v757_device` so the batch path can run the tracker with
+    the whole symbol batch on the Pallas lanes (outside the per-symbol
+    vmap) and vmap only this tail."""
+    n_slots = cfg.tracker.n_slots
+    cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx = spectral
+    t_frames = cand_period.shape[0]
 
     # 3) per-slot biquad reconstruction over the frame-aligned price track
     # with the slot's CURRENT per-frame period (time-varying recursion,
@@ -277,7 +287,16 @@ def run_v757(
 
 @partial(jax.jit, static_argnames=("cfg", "hop"))
 def _v757_batch_packed(series_batch: jax.Array, cfg: V757Config, hop: int):
-    out = jax.vmap(lambda s: _v757_device(s, cfg, hop))(series_batch)
+    # The tracker runs ONCE with the whole [B, T, J] candidate batch on
+    # the Pallas lanes (a vmapped pallas_call would serialize the batch
+    # into the grid); only the spectral stage and the tail are vmapped.
+    spectral = jax.vmap(lambda s: _spectral_frames(s, cfg, hop))(series_batch)
+    slots, _state = track_frames(
+        spectral[0], spectral[1], spectral[2], spectral[3], cfg=cfg.tracker
+    )
+    out = jax.vmap(
+        lambda s, sp, sl: _v757_tail(s, sp, sl, cfg, hop)
+    )(series_batch, spectral, slots)
     return _pack_transfer(out)
 
 
