@@ -250,3 +250,23 @@ def test_ehlers_highpass_stacked_batched():
     assert stacked.shape == (2, 4, 2, 256)
     want = np.asarray(ops.ehlers_highpass_detrend(x[1, 2], 64))
     np.testing.assert_allclose(stacked[1, 2, 1], want, rtol=1e-6, atol=1e-6)
+
+
+def test_frame_highpassed_rank1_identity_matches_per_window_scan():
+    """`extract.frame_highpassed` (series-level filter + alpha^j rank-1
+    correction) must equal cold-starting the Ehlers filter inside every
+    rolling window — the reference detrends each window's copy
+    independently (`...pla-kalman.mq5:3422-3435`)."""
+    from wavespec_tpu.extract import frame_highpassed, frame_series
+
+    x = jnp.asarray(
+        100.0 + np.cumsum(0.05 * rng(3).standard_normal(1500)), jnp.float32
+    )
+    for window, hop, period in [(1024, 16, 256), (256, 7, 64)]:
+        want = np.asarray(ops.ehlers_highpass_detrend(
+            frame_series(x, window, hop), period))
+        got = np.asarray(frame_highpassed(x, window, hop, period))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=2e-6 * max(scale, 1.0))
+        # window 0's correction is (near-)zero by construction
+        np.testing.assert_allclose(got[0], want[0], atol=2e-7 * max(scale, 1.0))

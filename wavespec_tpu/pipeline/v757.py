@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from wavespec_tpu.analyze.eta import EtaConfig, EtaMode, eta_state_machine, leak_eta_bars
 from wavespec_tpu.analyze.trackers import TrackerConfig, track_frames
-from wavespec_tpu.extract import DetrendMode, frame_series
+from wavespec_tpu.extract import DetrendMode, frame_highpassed, frame_series
 from wavespec_tpu.filters.biquad import bandpass_cycle
 from wavespec_tpu.filters.kalman4d import Kalman4DConfig, kalman4d_filter
 from wavespec_tpu.kernels.mxu_fft import rfft_mxu
@@ -67,6 +67,11 @@ class V757Config:
 def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
     """Batched per-frame spectrum work: candidates + group delay at bins.
 
+    `series` may carry leading batch dims ([B, L] multi-symbol): framing,
+    filtering, and the fused band DFT are all batch-native, so the batch
+    path calls this ONCE instead of vmapping it (a vmapped pallas_call
+    serializes the symbol axis into the kernel grid).
+
     Band-limited: only bins [0, k_max+2] are computed (`rfft_mxu
     max_bins`) — every downstream read (candidates in [k_min, k_max],
     group delay at slot/leak bins <= k_max, whose central differences
@@ -79,18 +84,31 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
     n = cfg.window
     k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
     n_bins = min(k_max + 3, n // 2)
-    windows = frame_series(series, n, hop)
     if cfg.detrend == DetrendMode.EHLERS:
-        windows = ehlers_highpass_detrend(windows, cfg.trend_period)
+        # Rank-1 identity (extract.frame_highpassed): the per-window
+        # cold-start filter as one series-level scan + an alpha^j
+        # correction — the [nwin, n] associative scan was 17.3 ms of the
+        # 37 ms B=64 spectral stage on-chip.
+        windows = frame_highpassed(series, n, hop, cfg.trend_period)
+    else:
+        windows = frame_series(series, n, hop)
     if cfg.taper != WindowType.NONE:
         windows = windows * window_coefficients(n, cfg.taper, windows.dtype)
-    spec = rfft_mxu(windows, max_bins=n_bins)[..., :n_bins]
+    if jax.default_backend() != "cpu":
+        # Fused Pallas band DFT: the four-step materializes full-width
+        # complex intermediates (HBM-bound, 17 ms of the B=64 spectral
+        # stage); the band kernel computes just the n_bins prefix.
+        from wavespec_tpu.kernels.fused_dft import rfft_band_fused_any
+
+        spec = rfft_band_fused_any(windows, n_bins)
+    else:
+        spec = rfft_mxu(windows, max_bins=n_bins)[..., :n_bins]
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
     if cfg.n_candidates == 0:
         # Reference-exact: every in-band bin, ascending index (`:3505-3516`).
         idx = jnp.arange(k_min, min(k_max + 1, n // 2), dtype=jnp.int32)
-        cand_idx = jnp.broadcast_to(idx, (power.shape[0], idx.shape[0]))
+        cand_idx = jnp.broadcast_to(idx, (*power.shape[:-1], idx.shape[0]))
         cand_power = power[..., k_min : min(k_max + 1, n // 2)]
         cand_valid = jnp.ones_like(cand_power, bool)
         cand_period = n / cand_idx.astype(jnp.float32)
@@ -290,7 +308,7 @@ def _v757_batch_packed(series_batch: jax.Array, cfg: V757Config, hop: int):
     # The tracker runs ONCE with the whole [B, T, J] candidate batch on
     # the Pallas lanes (a vmapped pallas_call would serialize the batch
     # into the grid); only the spectral stage and the tail are vmapped.
-    spectral = jax.vmap(lambda s: _spectral_frames(s, cfg, hop))(series_batch)
+    spectral = _spectral_frames(series_batch, cfg, hop)
     slots, _state = track_frames(
         spectral[0], spectral[1], spectral[2], spectral[3], cfg=cfg.tracker
     )
