@@ -171,68 +171,102 @@ def _v757_device(
 def _v757_tail(
     series: jax.Array, spectral, slots, cfg: V757Config, hop: int
 ) -> dict[str, jax.Array]:
-    """Stages 3-6 (biquad, ETA, signals, Kalman) for ONE series.
+    """Stages 3-6 (biquad, ETA, signals, Kalman), batch-native.
 
-    Split from `_v757_device` so the batch path can run the tracker with
-    the whole symbol batch on the Pallas lanes (outside the per-symbol
-    vmap) and vmap only this tail."""
+    `series` may carry leading symbol dims. On a real device the four
+    per-frame state machines run as ONE Pallas launch
+    (`kernels.v757_tail_pallas` — chip-measured at B=64 x 512 frames the
+    XLA scans cost biquad +3.8 / eta +6.0 / kalman +1.5 ms of pure
+    per-step dispatch latency); CPU keeps the XLA scan stack. The two
+    paths agree to f32 noise on float outputs and exactly on discrete
+    ones (tests/test_v757_tail_pallas.py) — the kernel's sequential
+    biquad recurrence is, if anything, closer to the reference's per-bar
+    loop than the associative-scan formulation."""
     n_slots = cfg.tracker.n_slots
     cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx = spectral
-    t_frames = cand_period.shape[0]
+    t_frames = cand_period.shape[-2]
+    lead = series.shape[:-1]
 
-    # 3) per-slot biquad reconstruction over the frame-aligned price track
-    # with the slot's CURRENT per-frame period (time-varying recursion,
-    # exactly like `CalculateCycle` being re-invoked each bar). Boundary
-    # semantics follow the reference exactly: the first frames read the
-    # two REAL prices before the first analyzed bar (`CalculateCycle` runs
-    # over the global close array), and inactive-slot frames write 0 while
-    # y[i-1] passes through (`:3578-3588` else branch).
-    newest = series[cfg.window - 1 :: hop][:t_frames]  # [T]
+    # frame-aligned price track + the two REAL prices before frame 0
+    # (`CalculateCycle` runs over the global close array)
+    newest = series[..., cfg.window - 1 :: hop][..., :t_frames]
     start = cfg.window - 1
     prev = [
-        series[start - k * hop] if start - k * hop >= 0
-        else jnp.asarray(0.0, jnp.float32)
+        series[..., start - k * hop : start - k * hop + 1]
+        if start - k * hop >= 0
+        else jnp.zeros((*lead, 1), jnp.float32)
         for k in (2, 1)
     ]
-    price_prev = jnp.stack(prev)  # (x[-2], x[-1]) in frame steps
-    periods_ts = jnp.swapaxes(slots["slot_period"], 0, 1)  # [S, T]
-    valid_ts = jnp.swapaxes(slots["slot_valid"], 0, 1)     # [S, T]
-    cycle_vals = bandpass_cycle(
-        jnp.broadcast_to(newest, (n_slots, t_frames)), periods_ts,
-        cfg.bandwidth, valid=valid_ts, price_prev=price_prev, zero_first=0,
-    )  # [S, T]
-    cycle_vals = jnp.swapaxes(cycle_vals, 0, 1)  # [T, S]
-    cycle_vals = jnp.where(slots["slot_valid"], cycle_vals, 0.0)
-
-    # 4) ETA machine per slot
+    price_prev = jnp.concatenate(prev, axis=-1)  # [..., 2]
     gd_at_slot = jnp.take_along_axis(
         gd, jnp.clip(slots["slot_fft_index"], 0, gd.shape[-1] - 1), axis=-1
     )
-    eta = eta_state_machine(
-        jnp.swapaxes(cycle_vals, 0, 1),
-        jnp.swapaxes(slots["slot_period"], 0, 1),
-        jnp.swapaxes(gd_at_slot, 0, 1),
-        EtaConfig(mode=cfg.eta_mode, seconds_per_bar=cfg.seconds_per_bar,
-                  fft_window=cfg.window,
-                  prior_bars=(cfg.window - 1) // hop,
-                  # The ring must hold a quarter of the LONGEST slot
-                  # period: the default 64 silently clips the lag (and
-                  # therefore the phase-extremum ETA) for periods > ~252.
-                  lag_buffer=max(64, int(cfg.max_period / 4.0) + 2)),
-        valid=valid_ts,
-    )
-    color = jnp.swapaxes(eta["color"], 0, 1)         # [T, S]
-    eta_raw = jnp.swapaxes(eta["eta_raw"], 0, 1)
-    eta_display = jnp.swapaxes(eta["eta_display"], 0, 1)
 
-    # 5) states + FollowFirst signals (device-side collect_cycle_states)
-    states = jnp.where(
-        slots["slot_valid"], jnp.where(color > 0.5, 1.0, -1.0), 0.0
-    )
-    ff = followfirst_signals(
-        states, eta_raw, slots["slot_period"], slots["slot_valid"],
-        cfg.followfirst,
-    )
+    if jax.default_backend() != "cpu":
+        from wavespec_tpu.kernels.v757_tail_pallas import v757_tail_pallas
+
+        tail = v757_tail_pallas(
+            newest, price_prev, slots["slot_period"], slots["slot_valid"],
+            gd_at_slot, cfg, hop,
+        )
+        cycle_vals = tail["cycle_values"]
+        color = tail["color"]
+        eta_raw = tail["eta_raw"]
+        eta_display = tail["eta_display"]
+        states = tail["states"]
+        ff = {"sig": tail["sig"], "confluence": tail["confluence"]}
+        kalman_out = tail.get("kalman")
+    else:
+        # 3) per-slot biquad reconstruction with the slot's CURRENT
+        # per-frame period (time-varying recursion, exactly like
+        # `CalculateCycle` re-invoked each bar); inactive-slot frames
+        # write 0 while y[i-1] passes through (`:3578-3588` else branch).
+        periods_ts = jnp.swapaxes(slots["slot_period"], -1, -2)  # [.., S, T]
+        valid_ts = jnp.swapaxes(slots["slot_valid"], -1, -2)
+        cycle_vals = bandpass_cycle(
+            jnp.broadcast_to(
+                newest[..., None, :], (*lead, n_slots, t_frames)
+            ),
+            periods_ts, cfg.bandwidth, valid=valid_ts,
+            price_prev=price_prev[..., None, :], zero_first=0,
+        )  # [..., S, T]
+        cycle_vals = jnp.swapaxes(cycle_vals, -1, -2)  # [..., T, S]
+        cycle_vals = jnp.where(slots["slot_valid"], cycle_vals, 0.0)
+
+        # 4) ETA machine per slot
+        eta = eta_state_machine(
+            jnp.swapaxes(cycle_vals, -1, -2),
+            periods_ts,
+            jnp.swapaxes(gd_at_slot, -1, -2),
+            EtaConfig(mode=cfg.eta_mode, seconds_per_bar=cfg.seconds_per_bar,
+                      fft_window=cfg.window,
+                      prior_bars=(cfg.window - 1) // hop,
+                      # The ring must hold a quarter of the LONGEST slot
+                      # period: the default 64 silently clips the lag (and
+                      # therefore the phase-extremum ETA) for periods > ~252.
+                      lag_buffer=max(64, int(cfg.max_period / 4.0) + 2)),
+            valid=valid_ts,
+        )
+        color = jnp.swapaxes(eta["color"], -1, -2)         # [..., T, S]
+        eta_raw = jnp.swapaxes(eta["eta_raw"], -1, -2)
+        eta_display = jnp.swapaxes(eta["eta_display"], -1, -2)
+
+        # 5) states + FollowFirst signals
+        states = jnp.where(
+            slots["slot_valid"], jnp.where(color > 0.5, 1.0, -1.0), 0.0
+        )
+        ff_fn = lambda st, er, pp, vv: followfirst_signals(
+            st, er, pp, vv, cfg.followfirst
+        )
+        for _ in range(len(lead)):
+            ff_fn = jax.vmap(ff_fn)
+        ff = ff_fn(
+            states, eta_raw, slots["slot_period"], slots["slot_valid"]
+        )
+        if cfg.enable_kalman:
+            kalman_out, _ = kalman4d_filter(newest, cfg.kalman)
+        else:
+            kalman_out = None
 
     # leak ETA buffers (`PopulateLeakBuffers`, `:2290-2357`)
     # leak buffers go through CalculateScientificETASeconds, which indexes
@@ -265,8 +299,7 @@ def _v757_tail(
 
     # 6) Kalman 4D over the frame-aligned price
     if cfg.enable_kalman:
-        kf, _ = kalman4d_filter(newest, cfg.kalman)
-        out["kalman"] = kf
+        out["kalman"] = kalman_out
     return out
 
 
@@ -305,16 +338,15 @@ def run_v757(
 
 @partial(jax.jit, static_argnames=("cfg", "hop"))
 def _v757_batch_packed(series_batch: jax.Array, cfg: V757Config, hop: int):
-    # The tracker runs ONCE with the whole [B, T, J] candidate batch on
-    # the Pallas lanes (a vmapped pallas_call would serialize the batch
-    # into the grid); only the spectral stage and the tail are vmapped.
+    # Every stage is batch-native (a vmapped pallas_call would serialize
+    # the symbol batch into the kernel grid): the spectral stage frames /
+    # filters / DFTs with leading dims, and the tracker + tail kernels
+    # take the whole [B, ...] batch on their VPU lanes.
     spectral = _spectral_frames(series_batch, cfg, hop)
     slots, _state = track_frames(
         spectral[0], spectral[1], spectral[2], spectral[3], cfg=cfg.tracker
     )
-    out = jax.vmap(
-        lambda s, sp, sl: _v757_tail(s, sp, sl, cfg, hop)
-    )(series_batch, spectral, slots)
+    out = _v757_tail(series_batch, spectral, slots, cfg, hop)
     return _pack_transfer(out)
 
 
@@ -402,7 +434,7 @@ def _v757_spans(cfg: V757Config, hop: int) -> dict:
         jax.ShapeDtypeStruct((cfg.window + 7 * hop,), jnp.float32),
     )
     spans, pos = {}, 0
-    for k, v in shapes.items():
+    for k, v in sorted(shapes.items()):
         width = 1 if k in _SCALAR_COLS else v.shape[-1]
         spans[k] = (pos, pos + width, k in _SCALAR_COLS)
         pos += width
@@ -428,7 +460,11 @@ def _pack_transfer(out: dict):
     cols = []
     spans = {}
     pos = 0
-    for k, v in out.items():
+    # SORTED keys: the layout must be key-deterministic — `_v757_spans`
+    # recomputes it independently for the sharded path, and a pytree
+    # round-trip (vmap/jit) sorts dict keys anyway, so insertion order
+    # is not stable across call paths.
+    for k, v in sorted(out.items()):
         v2 = v[..., None] if k in _SCALAR_COLS else v
         spans[k] = (pos, pos + v2.shape[-1], k in _SCALAR_COLS)
         pos += v2.shape[-1]
