@@ -112,3 +112,24 @@ def test_v757_batch_rejects_1d():
     with pytest.raises(ValueError, match=r"\[B, L\]"):
         run_v757_batch(np.zeros(512, np.float32),
                        V757Config(window=256, trend_period=128))
+
+
+def test_v757_batch_symbol_chunking_matches_unchunked():
+    """`symbol_chunk` splits the device program (the config-#5 1024-symbol
+    frame matrix alone is 8.6 GB — past one chip's HBM); chunked output
+    must equal the single-program result exactly."""
+    cfg = V757Config(window=256, min_period=18.0, max_period=52.0,
+                     trend_period=128, n_candidates=8)
+    batch = make_batch(6, 256 + 40, seed=5)
+    want = run_v757_batch(batch, cfg, hop=2)
+    got = run_v757_batch(batch, cfg, hop=2, symbol_chunk=2)
+    for k in want:
+        if want[k].dtype.kind in "bi" or k in ("states", "color", "sig",
+                                               "confluence"):
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+        else:
+            # CPU XLA's fusion-dependent contraction order shifts float
+            # fields ~1 ulp between batch shapes (see hopped_dft notes)
+            np.testing.assert_allclose(
+                got[k], want[k], rtol=1e-6, atol=1e-6, err_msg=k
+            )

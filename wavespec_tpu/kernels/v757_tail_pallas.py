@@ -530,7 +530,13 @@ def v757_tail_pallas(
     """
     lead = periods.shape[:-2]
     t_frames, s_slots = periods.shape[-2:]
-    cap = max(64, int(cfg.max_period / 4.0) + 2)
+    # Ring capacity: the quarter-period lag q = round(P/4) is bounded by
+    # the candidate band (slot periods never exceed max_period), so the
+    # ring only needs max_period/4 + margin rows — NOT the XLA path's
+    # compat-driven max(64, ...) (its clip never binds below this bound
+    # either, so the two paths read identical lags). The per-frame
+    # masked ring reduction scales with cap: 64 -> 16 rows quarters it.
+    cap = max(16, int(cfg.max_period / 4.0) + 3)
     prior_bars = (cfg.window - 1) // hop
 
     def to_lanes(a, dt, rows):

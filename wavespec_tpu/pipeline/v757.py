@@ -113,14 +113,18 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
         cand_valid = jnp.ones_like(cand_power, bool)
         cand_period = n / cand_idx.astype(jnp.float32)
     else:
-        mask = (jnp.arange(n_bins) >= k_min) & (jnp.arange(n_bins) <= k_max)
-        inband = jnp.where(mask, power, 0.0)
+        # top_k over the SLICED band, not a zero-masked full prefix: the
+        # sort pays per column, and [k_min, k_max] is ~2/3 of n_bins at
+        # the flagship band (chip: 2.66 ms -> ~1.7 ms at B=64 x 512).
+        hi = min(k_max + 1, n // 2)
+        inband = power[..., k_min:hi]
         # Clamp to the bin count: requesting more candidates than bins
         # previously just yielded zero-power (invalid) rows — identical
         # tracker behavior, smaller J.
         cand_power, cand_idx = jax.lax.top_k(
-            inband, min(cfg.n_candidates, n_bins)
+            inband, min(cfg.n_candidates, hi - k_min)
         )
+        cand_idx = cand_idx + k_min
         cand_valid = cand_power > 0
         cand_period = jnp.where(
             cand_valid, n / jnp.maximum(cand_idx.astype(jnp.float32), 1.0), 0.0
@@ -354,16 +358,26 @@ def run_v757_batch(
     series_batch: np.ndarray,
     cfg: V757Config = V757Config(),
     hop: int = 1,
+    symbol_chunk: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Multi-symbol v7.57: the FULL analytics pipeline over a [B, L] batch.
 
     The reference's scale-out workload is many symbols x timeframes
     (`WaveCyclesBatchFetcher.mq5:91-143`, multi-TF pool
     `Legacy/WaveSpecZZ_1.0.2.mq5:50-130`) run one at a time; here the
-    symbol axis is a `jax.vmap` over the device core, so the tracker/ETA/
-    signal scans advance ALL symbols per frame step — amortizing the
-    per-step small-op latency that bounds the single-series path
-    (~13.7 us/frame; see docs/ROUND2.md) across the whole batch.
+    whole symbol axis advances per frame step through the batch-native
+    spectral stage and the tracker/tail Pallas kernels (symbols ride the
+    VPU lanes) — amortizing the per-step latency that bounds the
+    single-series path.
+
+    `symbol_chunk`: process the batch `symbol_chunk` symbols per device
+    program. The frame matrix is [B, T, window] f32 — at the BASELINE
+    config-#5 upper end (1024 symbols x 4096-pt windows x 512 frames) it
+    alone is 8.6 GB, past the single chip's 16 GB HBM with the DFT's
+    transposed copy (measured: XLA asks 24 G). 256 fits comfortably;
+    equal chunks reuse one compiled program. (On a v5e-8 mesh,
+    `run_v757_batch_sharded` splits 128 symbols/chip and needs no
+    chunking.)
 
     Returns the `run_v757` dict with a leading batch axis: [B, T, S] slot
     buffers, [B, T] confluence/kalman.
@@ -371,6 +385,16 @@ def run_v757_batch(
     series_batch = jnp.asarray(np.asarray(series_batch, np.float32))
     if series_batch.ndim != 2:
         raise ValueError(f"series_batch must be [B, L], got {series_batch.shape}")
+    b = series_batch.shape[0]
+    if symbol_chunk and b > symbol_chunk:
+        parts = []
+        spans = None
+        for lo in range(0, b, symbol_chunk):
+            packed, spans = _v757_batch_packed(
+                series_batch[lo : lo + symbol_chunk], cfg, hop
+            )
+            parts.append(np.asarray(packed))
+        return _unpack_transfer(np.concatenate(parts, axis=0), spans)
     packed, spans = _v757_batch_packed(series_batch, cfg, hop)
     return _unpack_transfer(np.asarray(packed), spans)
 
