@@ -238,14 +238,29 @@ def music_pseudospectrum(windows: jax.Array, cfg, band_windows=None):
     if band_windows is not None:
         covs = [_autocov_toeplitz(bw, m) for bw in band_windows]
     else:
+        # All R per-band filters in ONE scan: the decimated bands have
+        # different lengths, so they are zero-padded to the longest (the
+        # filter is causal — trailing padding never reaches the real
+        # prefix) and stacked on a row axis. Three sequential scans were
+        # the largest term of the batch=1 serving latency (~67 us of
+        # 174, benchmarks/profile_latency.py).
+        from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_rows
+
+        decs = [_decimate_box(windows, d) for (_, _, d) in bands]
+        periods = tuple(max(4, int(1.5 * hi / d)) for (_, hi, d) in bands)
+        n_max = max(dw.shape[-1] for dw in decs)
+        stacked = jnp.stack(
+            [
+                jnp.pad(dw, [(0, 0)] * (dw.ndim - 1)
+                        + [(0, n_max - dw.shape[-1])])
+                for dw in decs
+            ],
+            axis=-2,
+        )  # [..., R, n_max]
+        hp_rows = ehlers_highpass_detrend_rows(stacked, periods)
         covs = [
-            _autocov_toeplitz(
-                ehlers_highpass_detrend(
-                    _decimate_box(windows, d), max(4, int(1.5 * hi / d))
-                ),
-                m,
-            )
-            for (_, hi, d) in bands
+            _autocov_toeplitz(hp_rows[..., bi, : decs[bi].shape[-1]], m)
+            for bi in range(len(bands))
         ]
     r = jnp.stack(covs, axis=-3)  # [..., R, m, m]
     eigvals, eigvecs = jacobi_eigh(r)  # [..., R, m], [..., R, m, m]

@@ -78,6 +78,29 @@ def ehlers_highpass_detrend_stacked(
     return price[..., None, :] - trend
 
 
+@partial(jax.jit, static_argnames=("periods",))
+def ehlers_highpass_detrend_rows(
+    rows: jax.Array, periods: tuple[int, ...]
+) -> jax.Array:
+    """Per-row Ehlers high-pass: row r of ``[..., R, L]`` is filtered at
+    ``periods[r]``, all rows in ONE associative scan (each row matches
+    the scalar filter exactly — the coefficients are elementwise).
+
+    Unlike `ehlers_highpass_detrend_stacked` (one input, R cutoffs) the
+    rows here are DIFFERENT series — the MUSIC single-window fallback
+    stacks its per-band decimated windows (zero-padded to a common
+    length; the filter is causal, so trailing padding cannot affect the
+    real prefix) to collapse R sequential latency-bound scans into one.
+    """
+    w = 2.0 * jnp.pi / jnp.asarray(periods, rows.dtype)   # [R]
+    alpha = (1.0 - jnp.sin(w)) / jnp.cos(w)
+    c = (1.0 - alpha) / 2.0
+    prev = jnp.concatenate([rows[..., :1], rows[..., :-1]], axis=-1)
+    b = c[:, None] * (rows + prev)
+    a = jnp.broadcast_to(alpha[:, None], b.shape)
+    return rows - _linear_recurrence(a, b)
+
+
 class DcMode(enum.IntEnum):
     """`gpu_remove_dc_time_series` mode ids (mode 0 = mean removal default)."""
 
