@@ -33,24 +33,34 @@ def _price_series(n=N_BARS, seed=7):
 
 
 @pytest.fixture(scope="module")
-def both():
+def oracle_out():
     series = _price_series()
-    oracle = run_oracle(
+    return run_oracle(
         series, window=WINDOW, min_period=18.0, max_period=52.0,
         trend_period=1024, window_type="blackman", bandwidth=0.5,
         seconds_per_bar=60.0,
     )
+
+
+# sliding_spectral=True forces the production TPU spectral path (the
+# chunked sliding band DFT) through the same bar-exact gate on CPU;
+# False is the framed reference path.
+@pytest.fixture(scope="module", params=[False, True],
+                ids=["framed", "sliding"])
+def both(request, oracle_out):
+    series = _price_series()
     cfg = V757Config(
         window=WINDOW, min_period=18.0, max_period=52.0, trend_period=1024,
         taper=WindowType.BLACKMAN, detrend=DetrendMode.EHLERS,
         n_candidates=0,
         tracker=TrackerConfig(capacity=64, sequential_match=True),
         seconds_per_bar=60.0, enable_kalman=False,
+        sliding_spectral=request.param,
     )
     ours = run_v757(series.astype(np.float32), cfg, hop=1)
     # frame f of ours = bar WINDOW-1+f of the oracle
     sl = slice(WINDOW - 1, None)
-    return {k: v[sl] for k, v in oracle.items()}, ours
+    return {k: v[sl] for k, v in oracle_out.items()}, ours
 
 
 def test_slot_activity_matches(both):

@@ -1,0 +1,254 @@
+"""Sliding band DFT: the hop=1 rolling spectrum as chunked closed-form
+prefix convolutions instead of per-window DFTs.
+
+The v757 online path (`Legacy/WaveSpecZZ_1.0.3-pla-kalman.mq5` OnCalculate,
+one windowed FFT per bar) re-transforms 4095/4096ths of the same samples
+every frame.  For ANY fixed angular frequency ``f`` the window transform
+
+    Y_i(f) = sum_{j<N} s[i+j] * exp(-i f j)
+
+obeys the exact one-step recurrence
+
+    Y_{i+1} = exp(if) * (Y_i - s[i] + s[i+N] * exp(-ifN))
+
+which unrolls in closed form from a chunk anchor ``n0``:
+
+    Y_{n0+n} = e^{ifn} Y_{n0}
+             + sum_{t<n} e^{if(n-t)} (s[n0+t+N] e^{-ifN} - s[n0+t])
+
+i.e. one anchor DFT per chunk plus a CAUSAL CONVOLUTION of the series
+against a fixed complex kernel — expressed here as four real MXU matmuls
+per chunk.  Per frame this costs ``N*K*M/C + C*K`` MACs against the framed
+path's ``N*K`` (~14x fewer at the flagship shape, C=128) and never
+materializes the ``[T, N]`` frame matrix (537 MB at B=64 x 512 x 4096).
+
+The symmetric taper folds in EXACTLY: Hann/Hamming/Blackman are finite
+cosine sums, so ``t[j] = sum_m a_m e^{+i m w0 j}`` with ``w0 = 2pi/(N-1)``
+(the reference's symmetric convention, `Legacy/WaveSpecZZ_1.0.2.mq5:884-935`)
+and the tapered spectrum is the same sliding machinery evaluated at the
+M = 1/3/5 shifted frequencies ``f_{k,m} = 2pi*k/N - m*w0`` per bin.
+Bartlett is not a cosine sum — callers fall back to the framed path.
+
+All phase tables are built host-side in float64 with mod-1 folding (the
+fractional phase is exact there; on-device f32 transcendentals both cost
+VPU budget and lose accuracy at large ``j*k``).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wavespec_tpu.ops.windows import WindowType
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def taper_harmonics(window_type: WindowType | int) -> list[tuple[int, float]] | None:
+    """Taper as an exact list of ``(m, a_m)`` complex-exponential terms
+    (``t[j] = sum a_m e^{i m w0 j}``, w0 = 2pi/(N-1)), or None when the
+    taper is not a finite cosine sum (Bartlett)."""
+    wt = WindowType(int(window_type))
+    if wt == WindowType.NONE:
+        return [(0, 1.0)]
+    if wt == WindowType.HANN:
+        return [(0, 0.5), (1, -0.25), (-1, -0.25)]
+    if wt == WindowType.HAMMING:
+        return [(0, 0.54), (1, -0.23), (-1, -0.23)]
+    if wt == WindowType.BLACKMAN:
+        return [(0, 0.42), (1, -0.25), (-1, -0.25), (2, 0.04), (-2, 0.04)]
+    return None  # BARTLETT: piecewise-linear, no finite harmonic form
+
+
+@lru_cache(maxsize=None)
+def _tables(window: int, n_bins: int, chunk: int, window_type: int):
+    """Host-side f64 phase tables for (N, K, C, taper); f32 parts out.
+
+    Returns a dict of numpy arrays:
+      basis_a/b (re, im): anchor-DFT basis factors, [J1, K*M] and [J2, K*M]
+        with basis[j] = a[j // J2] * b[j % J2] = e^{-2pi i phi j};
+      k_head / k_tail (re, im): conv kernel matrices [C-1, K], indexed by
+        u with d = C-1-u (see `sliding_band_spec`);
+      en (re, im): anchor spread table [C, K, M] = a_m e^{+2pi i phi n}.
+    """
+    n = window
+    harmonics = taper_harmonics(window_type)
+    if harmonics is None:
+        raise ValueError(f"no harmonic form for taper {window_type}")
+    m_vals = np.array([m for m, _ in harmonics], np.float64)
+    a_vals = np.array([a for _, a in harmonics], np.float64)
+    n_m = len(harmonics)
+    k = np.arange(n_bins, dtype=np.float64)
+    # cycles/sample; [K, M]
+    phi = k[:, None] / n - m_vals[None, :] / (n - 1)
+    phi_f = phi.reshape(-1)  # [K*M], k-major
+
+    def cis(x):  # e^{2pi i frac(x)} — fold in f64 BEFORE the trig
+        x = x - np.round(x)
+        return np.cos(2 * np.pi * x), np.sin(2 * np.pi * x)
+
+    # anchor basis e^{-2pi i phi j}, factored j = u*J2 + v
+    j2 = min(64, n)
+    j1 = -(-n // j2)
+    u = np.arange(j1, dtype=np.float64)[:, None] * j2
+    v = np.arange(j2, dtype=np.float64)[:, None]
+    a_re, a_im = cis(-u * phi_f[None, :])
+    b_re, b_im = cis(-v * phi_f[None, :])
+
+    # conv kernels: Khead[d] = sum_m a_m e^{+2pi i phi d},
+    #               Ktail[d] = sum_m a_m e^{+2pi i phi (d - N)}, d in [1, C)
+    d = np.arange(1, chunk, dtype=np.float64)[:, None, None]  # [C-1, 1, 1]
+    ph = phi[None, :, :]  # [1, K, M]
+    hr, hi = cis(d * ph)
+    tr, ti = cis((d - n) * ph)
+    k_head_re = (hr * a_vals).sum(-1)  # [C-1, K]
+    k_head_im = (hi * a_vals).sum(-1)
+    k_tail_re = (tr * a_vals).sum(-1)
+    k_tail_im = (ti * a_vals).sum(-1)
+    # index by u = C-1-d (frame column u holds sample n-1-(C-2-u)):
+    k_head_re, k_head_im = k_head_re[::-1], k_head_im[::-1]
+    k_tail_re, k_tail_im = k_tail_re[::-1], k_tail_im[::-1]
+
+    # anchor spread: En[n, k, m] = a_m e^{+2pi i phi n}
+    nn = np.arange(chunk, dtype=np.float64)[:, None, None]
+    er, ei = cis(nn * ph)
+    en_re = (er * a_vals).astype(np.float32)
+    en_im = (ei * a_vals).astype(np.float32)
+
+    f32 = lambda x: np.ascontiguousarray(x, np.float32)
+    return {
+        "a_re": f32(a_re), "a_im": f32(a_im),
+        "b_re": f32(b_re), "b_im": f32(b_im),
+        "k_head_re": f32(k_head_re), "k_head_im": f32(k_head_im),
+        "k_tail_re": f32(k_tail_re), "k_tail_im": f32(k_tail_im),
+        "en_re": en_re, "en_im": en_im,
+        "n_m": n_m,
+    }
+
+
+def tapered_dft_of(vector: np.ndarray, n_bins: int,
+                   window_type: WindowType | int) -> np.ndarray:
+    """Host-side f64 tapered DFT of a fixed length-N vector at bins
+    [0, n_bins) — for trace-time constants like the Ehlers rank-1
+    correction spectrum (`extract.frame_highpassed`)."""
+    n = len(vector)
+    from wavespec_tpu.ops.windows import _window_np
+
+    t = _window_np(n, WindowType(int(window_type)))
+    j = np.arange(n, dtype=np.float64)
+    k = np.arange(n_bins, dtype=np.float64)
+    ph = np.outer(j, k) / n
+    ph -= np.round(ph)
+    tv = t * np.asarray(vector, np.float64)
+    re = tv @ np.cos(-2 * np.pi * ph)
+    im = tv @ np.sin(-2 * np.pi * ph)
+    return (re + 1j * im).astype(np.complex64)
+
+
+def _matmul(x, w_re, w_im):
+    re = jnp.einsum("...u,uk->...k", x, w_re, precision=_HIGHEST)
+    im = jnp.einsum("...u,uk->...k", x, w_im, precision=_HIGHEST)
+    return re, im
+
+
+@partial(jax.jit, static_argnames=("window", "n_bins", "window_type", "chunk"))
+def sliding_band_spec(
+    series: jax.Array,
+    window: int,
+    n_bins: int,
+    window_type: WindowType | int = WindowType.NONE,
+    chunk: int = 128,
+) -> jax.Array:
+    """Tapered band spectrum of EVERY hop=1 window of ``series``.
+
+    series: [..., L] f32; frame n covers samples [n, n+window).
+    Returns complex64 [..., T, n_bins] with T = L - window + 1, equal (to
+    f32 rounding) to ``DFT(frame_series(series) * taper)[..., :n_bins]``.
+
+    Chunked: frames are grouped in blocks of ``chunk``; each block anchors
+    on an exact framed DFT of its first window (bounding the closed-form
+    resummation error to ``chunk`` steps) and reaches the rest by causal
+    convolution.  Appending samples never changes earlier frames' values:
+    each output row reads only samples [n0, n+window) and the per-row
+    contraction order is fixed.
+    """
+    wt = int(WindowType(int(window_type)))
+    n = window
+    tabs = _tables(n, n_bins, chunk, wt)
+    lead = series.shape[:-1]
+    length = series.shape[-1]
+    t_frames = length - n + 1
+    if t_frames < 1:
+        raise ValueError(f"series length {length} < window {n}")
+    n_chunk = -(-t_frames // chunk)
+    # one sample beyond the last frame's window: the tail conv operand is
+    # [n_chunk, C] wide though its final column is never read (frame n
+    # only reads tail columns t < n within the chunk).
+    pad = n + n_chunk * chunk - length
+    s = series.astype(jnp.float32)
+    if pad:
+        s = jnp.pad(s, [(0, 0)] * len(lead) + [(0, pad)])
+
+    from wavespec_tpu.extract import frame_series
+
+    # 1) anchor DFTs: windows at chunk starts, one [.., n_chunk, N] x
+    # [N, K*M] complex contraction via the factored basis.
+    w0 = frame_series(s, n, chunk)[..., :n_chunk, :]  # [.., n_chunk, N]
+    j1, km = tabs["a_re"].shape
+    j2 = tabs["b_re"].shape[0]
+    a_re, a_im = jnp.asarray(tabs["a_re"]), jnp.asarray(tabs["a_im"])
+    b_re, b_im = jnp.asarray(tabs["b_re"]), jnp.asarray(tabs["b_im"])
+    basis_re = (a_re[:, None, :] * b_re[None, :, :]
+                - a_im[:, None, :] * b_im[None, :, :]).reshape(j1 * j2, km)[:n]
+    basis_im = (a_re[:, None, :] * b_im[None, :, :]
+                + a_im[:, None, :] * b_re[None, :, :]).reshape(j1 * j2, km)[:n]
+    y0_re, y0_im = _matmul(w0, basis_re, basis_im)  # [.., n_chunk, K*M]
+    n_m = tabs["n_m"]
+    y0_re = y0_re.reshape(*lead, n_chunk, n_bins, n_m)
+    y0_im = y0_im.reshape(*lead, n_chunk, n_bins, n_m)
+
+    # 2) spread anchors over the chunk: P0[c, n, k] = sum_m En[n,k,m] Y0[c,k,m].
+    # As an unrolled M-term broadcast-FMA chain, NOT an einsum: the dot
+    # form makes k a batch dim (230 tiny [C,M]@[M,...] matmuls + two
+    # [.., C, K] layout transposes) — m <= 5, so elementwise FMAs fuse
+    # into a single output pass instead.
+    en_re, en_im = jnp.asarray(tabs["en_re"]), jnp.asarray(tabs["en_im"])
+    p_re = jnp.zeros((*lead, n_chunk, chunk, n_bins), jnp.float32)
+    p_im = p_re
+    for mi in range(tabs["n_m"]):
+        er, ei = en_re[:, :, mi], en_im[:, :, mi]          # [C, K]
+        yr = y0_re[..., :, None, :, mi]                     # [.., c, 1, K]
+        yi = y0_im[..., :, None, :, mi]
+        p_re = p_re + (er * yr - ei * yi)
+        p_im = p_im + (er * yi + ei * yr)
+
+    # 3) causal convolutions. Chunk-local operands: head x[c, t] = s[c*C+t],
+    # tail x[c, t] = s[c*C+t+N]; frame rows Fz[c, n, u] = x[c, n+u-(C-1)]
+    # (zero below the chunk start) so out[n, k] = sum_u Fz[n, u] Kmat[u, k].
+    c = chunk
+    head = s[..., : n_chunk * c].reshape(*lead, n_chunk, c)
+    tail = s[..., n : n + n_chunk * c].reshape(*lead, n_chunk, c)
+
+    def conv_frames(x):
+        z = jnp.concatenate(
+            [jnp.zeros((*x.shape[:-1], c - 1), x.dtype), x[..., : c - 1]],
+            axis=-1,
+        )
+        return frame_series(z, c - 1, 1)  # [.., n_chunk, C, C-1]
+
+    fh = conv_frames(head)
+    ft = conv_frames(tail)
+    h_re, h_im = _matmul(
+        fh, jnp.asarray(tabs["k_head_re"]), jnp.asarray(tabs["k_head_im"])
+    )
+    t_re, t_im = _matmul(
+        ft, jnp.asarray(tabs["k_tail_re"]), jnp.asarray(tabs["k_tail_im"])
+    )
+
+    spec_re = (p_re + t_re - h_re).reshape(*lead, n_chunk * c, n_bins)
+    spec_im = (p_im + t_im - h_im).reshape(*lead, n_chunk * c, n_bins)
+    return jax.lax.complex(spec_re[..., :t_frames, :],
+                           spec_im[..., :t_frames, :])

@@ -55,6 +55,17 @@ class V757Config:
     # strongest n bins (a documented deviation that keeps the tracker
     # candidate set spectrally meaningful at large windows).
     n_candidates: int = 24
+    # hop=1 band spectra via the chunked sliding DFT (one anchor DFT per
+    # 128 frames + causal-conv matmuls, `kernels/sliding_dft.py`) instead
+    # of per-window DFTs — ~14x fewer MACs, no [T, window] frame matrix.
+    # None = auto: sliding on real devices, framed on CPU — CPU XLA's dot
+    # reduction order is batch-shape-dependent at these contraction sizes
+    # (measured ~2e-5 drift between [64,·]@ and [8,·]@ the same rows),
+    # which breaks the bitwise sharded-vs-single parity the CPU tests
+    # gate. True forces sliding everywhere (the oracle gates this config
+    # on CPU); False forces framed. Ineligible shapes (hop > 1, Bartlett
+    # taper, LINEAR detrend) always use the framed path.
+    sliding_spectral: bool | None = None
     tracker: TrackerConfig = TrackerConfig()
     eta_mode: EtaMode = EtaMode.PHASE_NEXT_EXTREMUM
     seconds_per_bar: float = 60.0
@@ -84,25 +95,69 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
     n = cfg.window
     k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
     n_bins = min(k_max + 3, n // 2)
-    if cfg.detrend == DetrendMode.EHLERS:
-        # Rank-1 identity (extract.frame_highpassed): the per-window
-        # cold-start filter as one series-level scan + an alpha^j
-        # correction — the [nwin, n] associative scan was 17.3 ms of the
-        # 37 ms B=64 spectral stage on-chip.
-        windows = frame_highpassed(series, n, hop, cfg.trend_period)
-    else:
-        windows = frame_series(series, n, hop)
-    if cfg.taper != WindowType.NONE:
-        windows = windows * window_coefficients(n, cfg.taper, windows.dtype)
-    if jax.default_backend() != "cpu":
-        # Fused Pallas band DFT: the four-step materializes full-width
-        # complex intermediates (HBM-bound, 17 ms of the B=64 spectral
-        # stage); the band kernel computes just the n_bins prefix.
-        from wavespec_tpu.kernels.fused_dft import rfft_band_fused_any
+    from wavespec_tpu.kernels.sliding_dft import (
+        sliding_band_spec, taper_harmonics, tapered_dft_of,
+    )
 
-        spec = rfft_band_fused_any(windows, n_bins)
+    want_sliding = (
+        cfg.sliding_spectral
+        if cfg.sliding_spectral is not None
+        else jax.default_backend() != "cpu"
+    )
+    sliding = (
+        want_sliding
+        and hop == 1
+        and cfg.detrend in (DetrendMode.NONE, DetrendMode.EHLERS)
+        and taper_harmonics(cfg.taper) is not None
+    )
+    if sliding:
+        # Chunked sliding band DFT (kernels/sliding_dft.py): per-frame cost
+        # N*K*M/C + C*K MACs vs the framed path's N*K, and the [T, window]
+        # frame matrix never exists. The Ehlers per-window cold-start
+        # filter rides the same rank-1 identity as `frame_highpassed`:
+        # tapered_spec(window_n) = tapered_spec(framed hp series)
+        #                        - delta_n * DFT(taper * alpha^j).
+        series = series.astype(jnp.float32)
+        if cfg.detrend == DetrendMode.EHLERS:
+            import numpy as _np
+
+            wf = 2.0 * _np.pi / cfg.trend_period
+            alpha = (1.0 - _np.sin(wf)) / _np.cos(wf)
+            c2 = 1.0 - alpha  # = 2*c
+            hp_s = ehlers_highpass_detrend(series, cfg.trend_period)
+            spec = sliding_band_spec(hp_s, n, n_bins, cfg.taper)
+            t_frames = spec.shape[-2]
+            trend_s = series - hp_s
+            delta = (
+                jnp.float32(c2) * series[..., :t_frames]
+                - trend_s[..., :t_frames]
+            )
+            tg = jnp.asarray(tapered_dft_of(
+                alpha ** _np.arange(n, dtype=_np.float64), n_bins, cfg.taper
+            ))
+            spec = spec - delta[..., None] * tg
+        else:
+            spec = sliding_band_spec(series, n, n_bins, cfg.taper)
     else:
-        spec = rfft_mxu(windows, max_bins=n_bins)[..., :n_bins]
+        if cfg.detrend == DetrendMode.EHLERS:
+            # Rank-1 identity (extract.frame_highpassed): the per-window
+            # cold-start filter as one series-level scan + an alpha^j
+            # correction — the [nwin, n] associative scan was 17.3 ms of
+            # the 37 ms B=64 spectral stage on-chip.
+            windows = frame_highpassed(series, n, hop, cfg.trend_period)
+        else:
+            windows = frame_series(series, n, hop)
+        if cfg.taper != WindowType.NONE:
+            windows = windows * window_coefficients(n, cfg.taper, windows.dtype)
+        if jax.default_backend() != "cpu":
+            # Fused Pallas band DFT: the four-step materializes full-width
+            # complex intermediates (HBM-bound, 17 ms of the B=64 spectral
+            # stage); the band kernel computes just the n_bins prefix.
+            from wavespec_tpu.kernels.fused_dft import rfft_band_fused_any
+
+            spec = rfft_band_fused_any(windows, n_bins)
+        else:
+            spec = rfft_mxu(windows, max_bins=n_bins)[..., :n_bins]
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
     if cfg.n_candidates == 0:
