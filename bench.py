@@ -181,7 +181,10 @@ def main() -> None:
     # the reference does one FFT per bar. Guarded: a failure here must
     # not cost the round's headline (the driver parses the LAST line).
     try:
-        v757_wps = _measure_v757(n_sym=64, n_frames=512)
+        # B=128 is the production config-#5 per-chip shape (1024 symbols
+        # on a v5e-8 = 128 per chip) and fills the tracker/tail kernels'
+        # 128 VPU lanes.
+        v757_wps = _measure_v757(n_sym=128, n_frames=512)
         print(
             json.dumps(
                 {

@@ -36,7 +36,7 @@ def main() -> None:
         out = V._spectral_frames(s, cfg, 1)
         cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx = out
         if upto == "spectral":
-            return jnp.sum(cand_power) + jnp.sum(gd)
+            return jnp.sum(cand_power) + jnp.sum(gd_idx)
         slots, _ = track_frames(cand_period, cand_power, cand_idx,
                                 cand_valid, cfg=cfg.tracker)
         if upto == "trackers":

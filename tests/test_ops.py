@@ -270,3 +270,55 @@ def test_frame_highpassed_rank1_identity_matches_per_window_scan():
         np.testing.assert_allclose(got, want, atol=2e-6 * max(scale, 1.0))
         # window 0's correction is (near-)zero by construction
         np.testing.assert_allclose(got[0], want[0], atol=2e-7 * max(scale, 1.0))
+
+
+def test_group_delay_index_at_matches_full_path():
+    """`group_delay_index_at` (3-bin local evaluation, what the v757 tail
+    uses) equals the full phase->unwrap->gradient chain gathered at the
+    same bins — interior, edge-0, and last-bin conventions included."""
+    from wavespec_tpu.ops.phase import (
+        fft_phase, group_delay_index, group_delay_index_at, unwrap_phase,
+        unwrapped_gradient_at,
+    )
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 128)).astype(np.float32)
+    spec = jnp.asarray(np.fft.rfft(x)[:, :40].astype(np.complex64))
+    full = np.asarray(group_delay_index(unwrap_phase(fft_phase(spec))))
+    idx = jnp.asarray(
+        np.stack([[0, 1, 5, 17, 38, 39]] * 4).astype(np.int32))
+    local = np.asarray(group_delay_index_at(spec, idx))
+    want = np.take_along_axis(full, np.asarray(idx), axis=-1)
+    np.testing.assert_allclose(local, want, rtol=1e-5, atol=1e-5)
+
+    # un-clamped gradient flavor (the REALFFT ETA convention)
+    uw = unwrap_phase(fft_phase(spec))
+    g_full = np.gradient(np.asarray(uw), axis=-1)
+    g_local = np.asarray(unwrapped_gradient_at(spec, idx))
+    np.testing.assert_allclose(
+        g_local, np.take_along_axis(g_full, np.asarray(idx), -1),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_onehot_gather_helpers_match_take_along_axis():
+    """ops.gather one-hot picks == take_along_axis for in-range indices
+    (f32 and int32, last-axis and row flavors)."""
+    from wavespec_tpu.ops.gather import take_last, take_rows
+
+    rng = np.random.default_rng(1)
+    arr = rng.standard_normal((3, 7, 23)).astype(np.float32)
+    idx = rng.integers(0, 23, (3, 7, 5)).astype(np.int32)
+    want = np.take_along_axis(arr, idx, axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(take_last(jnp.asarray(arr), jnp.asarray(idx))), want)
+    arri = (arr * 100).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(take_last(jnp.asarray(arri), jnp.asarray(idx))),
+        np.take_along_axis(arri, idx, axis=-1))
+
+    rows = rng.standard_normal((4, 11, 6)).astype(np.float32)
+    ridx = rng.integers(0, 11, (4, 3)).astype(np.int32)
+    want_r = np.take_along_axis(rows, ridx[..., None], axis=-2)
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(jnp.asarray(rows), jnp.asarray(ridx))), want_r)

@@ -124,10 +124,12 @@ def test_v757_spectral_sliding_matches_framed():
     # candidate indices + validity: identical discrete picks
     np.testing.assert_array_equal(np.asarray(out_s[2]), np.asarray(out_f[2]))
     np.testing.assert_array_equal(np.asarray(out_s[3]), np.asarray(out_f[3]))
-    # periods/powers/group delay: f32 noise
+    # periods/powers/group-delay-index: f32 noise (gd is mode-selected
+    # and all-zero in the default PHASE mode; gd_idx always carries the
+    # leak-buffer convention)
     for a, b, tol in ((out_s[0], out_f[0], 1e-5),
                       (out_s[1], out_f[1], 1e-4),
-                      (out_s[4], out_f[4], 2e-2)):
+                      (out_s[5], out_f[5], 2e-2)):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1.0)
         assert np.abs(a - b).max() / scale < tol

@@ -28,6 +28,7 @@ from functools import partial
 import numpy as np
 import jax
 import jax.numpy as jnp
+from wavespec_tpu.ops.gather import take_last, take_rows
 
 from wavespec_tpu.analyze.eig_small import eigvals_small
 from wavespec_tpu.analyze.jacobi import jacobi_eigh
@@ -89,8 +90,8 @@ def _select_frequencies(lam: jax.Array, d: int, cfg):
     ok = (ang > eps) & (ang < jnp.pi - eps)
     score = jnp.where(ok, -jnp.abs(mod - 1.0), -jnp.inf)
     top_score, idx = jax.lax.top_k(score, cfg.top_k)
-    freq = jnp.take_along_axis(ang, idx, axis=-1) / (2.0 * jnp.pi * d)
-    mod_sel = jnp.take_along_axis(mod, idx, axis=-1)
+    freq = take_last(ang, idx) / (2.0 * jnp.pi * d)
+    mod_sel = take_last(mod, idx)
     valid = jnp.isfinite(top_score)
     lo, hi = 1.0 / cfg.max_period, 1.0 / cfg.min_period
     freq = jnp.where(valid & (freq >= lo) & (freq <= hi), freq, 0.0)
@@ -206,7 +207,7 @@ def esprit_extract(windows: jax.Array, cfg, pre_highpassed: bool = False
         [freq, amp, phase_end, power, coherence,
          valid.astype(jnp.float32), eigen_ratio], axis=-1,
     )
-    taken = jnp.take_along_axis(packed, top_idx[..., None], axis=-2)
+    taken = take_rows(packed, top_idx)
     freq, amp, phase_end = taken[..., 0], taken[..., 1], taken[..., 2]
     power, coherence = taken[..., 3], taken[..., 4]
     valid = taken[..., 5] > 0.5

@@ -28,6 +28,7 @@ from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
+from wavespec_tpu.ops.gather import take_last
 
 
 @lru_cache(maxsize=16)
@@ -136,6 +137,6 @@ def jacobi_eigh_xla(a: jax.Array, sweeps: int = 6):
     eigvals = jnp.stack([mat[i, i] for i in range(m)], axis=-1)  # [B, m]
     vecs = jnp.moveaxis(vecs, -1, 0)  # [B, m, m]
     order = jnp.argsort(eigvals, axis=-1)
-    eigvals = jnp.take_along_axis(eigvals, order, axis=-1)
-    vecs = jnp.take_along_axis(vecs, order[:, None, :], axis=-1)
+    eigvals = take_last(eigvals, order)
+    vecs = take_last(vecs, order[:, None, :])
     return eigvals.reshape(*batch, m), vecs.reshape(*batch, m, m)

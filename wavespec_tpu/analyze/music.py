@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wavespec_tpu.analyze.jacobi import jacobi_eigh
+from wavespec_tpu.ops.gather import take_last, take_rows
 from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
 from wavespec_tpu.ops.spectrum import band_indices
 
@@ -373,8 +374,8 @@ def _topk_local_maxima_bands(
         i = jnp.argmax(masked, axis=-1)                    # [..., R]
         vals.append(v)
         idxs.append(i)
-        f_pick = jnp.take_along_axis(
-            jnp.broadcast_to(fr, (*lead, r, g_max)), i[..., None], axis=-1
+        f_pick = take_last(
+            jnp.broadcast_to(fr, (*lead, r, g_max)), i[..., None]
         )
         far = jnp.abs(fr - f_pick) > excl                  # [..., R, G]
         masked = jnp.where(far, masked, 0.0)
@@ -696,8 +697,7 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
     ridge_gidx = jnp.asarray(_bin_to_gidx_table(cfg, k_min_fb, k_max_fb))[ridx]
     freq = jnp.concatenate([freq, ridge_freq], axis=-1)
     gidx = jnp.concatenate([gidx, ridge_gidx], axis=-1)
-    vals = jnp.concatenate(
-        [vals, jnp.take_along_axis(pseudo, ridge_gidx, axis=-1)], axis=-1)
+    vals = jnp.concatenate([vals, take_last(pseudo, ridge_gidx)], axis=-1)
     valid = jnp.concatenate([valid, rp > 0], axis=-1)
     out.update(freq=freq, valid=valid, gidx=gidx, vals=vals, rp=rp)
     if upto == "ridge":
@@ -728,7 +728,7 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
     tri = jnp.stack(
         [padbp[..., :-2], padbp[..., 1:-1], padbp[..., 2:]], axis=-1
     )                                             # [..., Kb, 3]
-    p3 = jnp.take_along_axis(tri, k0[..., None], axis=-2)  # [..., C, 3]
+    p3 = take_rows(tri, k0)                         # [..., C, 3]
     pm, p0, pp = p3[..., 0], p3[..., 1], p3[..., 2]
     denom = pm - 2.0 * p0 + pp
     shift = jnp.clip(
@@ -757,7 +757,7 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
          step0],
         axis=-1,
     )                                             # [..., C, 5]
-    taken = jnp.take_along_axis(packed, keep_idx[..., None], axis=-2)
+    taken = take_rows(packed, keep_idx)
     freq = taken[..., 0]
     valid = taken[..., 1] > 0.5
     gidx = taken[..., 2].astype(jnp.int32)
@@ -884,7 +884,7 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
     nb_full = sum(
         padp[..., off : off + pseudo.shape[-1]] for off in range(5)
     )
-    nb_sum = jnp.take_along_axis(nb_full, gidx, axis=-1)
+    nb_sum = take_last(nb_full, gidx)
     coherence = vals / jnp.maximum(nb_sum, 1e-30)
 
     # Eigen ratio: mean signal eigenvalue / mean noise eigenvalue, best
@@ -903,7 +903,7 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
         [freq, amp, phase_end, power, coherence,
          valid.astype(jnp.float32), eigen_ratio], axis=-1,
     )                                             # [..., keep, 7]
-    taken = jnp.take_along_axis(packed, top_idx[..., None], axis=-2)
+    taken = take_rows(packed, top_idx)
     freq, amp, phase_end = taken[..., 0], taken[..., 1], taken[..., 2]
     power, coherence = taken[..., 3], taken[..., 4]
     valid = taken[..., 5] > 0.5

@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from wavespec_tpu.ops.gather import take_last
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,7 +45,7 @@ def bin_contribution(spec: jax.Array, idx: jax.Array, n: int) -> jax.Array:
 
     spec: complex bins ``[..., n//2]`` from the forward rFFT; idx ``[..., k]``.
     """
-    spec_k = jnp.take_along_axis(spec, idx, axis=-1)
+    spec_k = take_last(spec, idx)
     n0 = float(n - 1)
     angle = 2.0 * jnp.pi * idx.astype(jnp.float32) * n0 / n
     return (2.0 / n) * (

@@ -42,6 +42,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from wavespec_tpu.ops.gather import take_last
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -165,6 +166,6 @@ def jacobi_eigh_pallas(a: jax.Array, sweeps: int = 6, interpret: bool = False):
     eigvals = jnp.moveaxis(vals.reshape(m, b_pad)[:, :b], -1, 0)   # [B, m]
     vecs = jnp.moveaxis(vecs.reshape(m, m, b_pad)[:, :, :b], -1, 0)
     order = jnp.argsort(eigvals, axis=-1)
-    eigvals = jnp.take_along_axis(eigvals, order, axis=-1)
-    vecs = jnp.take_along_axis(vecs, order[:, None, :], axis=-1)
+    eigvals = take_last(eigvals, order)
+    vecs = take_last(vecs, order[:, None, :])
     return eigvals.reshape(*batch, m), vecs.reshape(*batch, m, m)

@@ -61,6 +61,47 @@ def group_delay_index(unwrapped: jax.Array) -> jax.Array:
     return jnp.clip(-dphi, -GROUP_DELAY_CLAMP, GROUP_DELAY_CLAMP)
 
 
+def _wrap_principal(diff: jax.Array) -> jax.Array:
+    """Fold a phase first-difference into (-pi, pi] — the exact unwrap
+    step of `unwrap_phase` (numpy mod semantics + the +pi boundary fix)."""
+    wrapped = jnp.mod(diff + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    return jnp.where((wrapped == -jnp.pi) & (diff > 0), jnp.pi, wrapped)
+
+
+def unwrapped_gradient_at(spec: jax.Array, idx: jax.Array) -> jax.Array:
+    """``jnp.gradient(unwrap_phase(fft_phase(spec)))`` evaluated ONLY at
+    bins ``idx`` ([..., S] int32 into spec's last axis).
+
+    Unwrap corrections telescope — ``uw[b+1] - uw[b]`` is exactly the
+    principal-folded raw difference — so the central/one-sided gradient
+    at a bin needs only the three neighboring phases, not the full
+    unwrap cumsum. The v757 tail reads group delay at <= 24 slot/leak
+    bins per frame; computing phase/unwrap/gradient over all ~230 bins
+    of every frame was pure waste (atan2 is VPU-expensive).
+    """
+    from wavespec_tpu.ops.gather import take_last
+
+    nb = spec.shape[-1]
+    b = jnp.clip(idx, 0, nb - 1)
+    gather = lambda i: take_last(spec, i)
+    ph0 = fft_phase(gather(b))
+    phm = fft_phase(gather(jnp.maximum(b - 1, 0)))
+    php = fft_phase(gather(jnp.minimum(b + 1, nb - 1)))
+    d1 = _wrap_principal(php - ph0)   # uw[b+1] - uw[b]
+    d0 = _wrap_principal(ph0 - phm)   # uw[b] - uw[b-1]
+    return jnp.where(
+        b == 0, d1, jnp.where(b == nb - 1, d0, 0.5 * (d1 + d0))
+    )
+
+
+def group_delay_index_at(spec: jax.Array, idx: jax.Array) -> jax.Array:
+    """`group_delay_index` at selected bins (clamped +/-100, index units)."""
+    return jnp.clip(
+        -unwrapped_gradient_at(spec, idx),
+        -GROUP_DELAY_CLAMP, GROUP_DELAY_CLAMP,
+    )
+
+
 @jax.jit
 def phase_analysis(spec: jax.Array):
     """Convenience: (phase, unwrapped, group_delay) from complex bins."""

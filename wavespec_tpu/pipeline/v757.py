@@ -32,7 +32,8 @@ from wavespec_tpu.filters.biquad import bandpass_cycle
 from wavespec_tpu.filters.kalman4d import Kalman4DConfig, kalman4d_filter
 from wavespec_tpu.kernels.mxu_fft import rfft_mxu
 from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
-from wavespec_tpu.ops.phase import fft_phase, group_delay, group_delay_index, unwrap_phase
+from wavespec_tpu.ops.gather import take_last
+from wavespec_tpu.ops.phase import GROUP_DELAY_CLAMP, fft_phase
 from wavespec_tpu.ops.spectrum import band_indices
 from wavespec_tpu.ops.windows import WindowType, window_coefficients
 from wavespec_tpu.signals.followfirst import FollowFirstConfig, followfirst_signals
@@ -185,22 +186,34 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
             cand_valid, n / jnp.maximum(cand_idx.astype(jnp.float32), 1.0), 0.0
         )
 
+    # Group delay over the full bin plane, but via wrapped phase DIFFS —
+    # unwrap corrections telescope (uw[k+1]-uw[k] is exactly the
+    # principal-folded raw difference), so the unwrap cumsum and the uw
+    # materialization are skipped. Evaluating ONLY at the <= 24 slot/leak
+    # bins instead was measured catastrophically WORSE on-chip: a
+    # take_along_axis on the complex spec is a general gather (+31 ms at
+    # B=64 vs ~1.4 ms for the full plane + two real-array gathers).
+    from wavespec_tpu.ops.phase import _wrap_principal
+
     ph = fft_phase(spec)
-    uw = unwrap_phase(ph)
+    d = _wrap_principal(jnp.diff(ph, axis=-1))          # uw[k+1]-uw[k]
+    interior = 0.5 * (d[..., 1:] + d[..., :-1])
+    g = jnp.concatenate(
+        [d[..., :1], interior, d[..., -1:]], axis=-1
+    )  # == jnp.gradient(unwrap_phase(ph), axis=-1)
+    gd_idx = jnp.clip(-g, -GROUP_DELAY_CLAMP, GROUP_DELAY_CLAMP)
     # Two reference conventions (see ops.phase):
     # - `fft_group_delay` (indexed by CalculateScientificETASeconds in
     #   HYBRID mode) is the INDEX-space gradient clamped +/-100;
     # - ComputeETA_RealFFT recomputes tau_g = -dphi/delta_omega with
     #   delta_omega = 2*pi/(N/2) — the array LENGTH, not the FFT size —
     #   and no +/-100 clamp (`...pla-kalman.mq5:1366-1406`).
-    gd_idx = group_delay_index(uw)
     if cfg.eta_mode == EtaMode.REALFFT:
-        dphi = -jnp.gradient(uw, axis=-1)
-        gd = dphi / (2.0 * jnp.pi / (n // 2))  # FULL length per `:1387`
+        gd = -g / (2.0 * jnp.pi / (n // 2))  # FULL length per `:1387`
     elif cfg.eta_mode == EtaMode.HYBRID:
         gd = gd_idx
     else:
-        gd = group_delay(uw, n)  # PHASE mode never reads it
+        gd = jnp.zeros_like(gd_idx)  # PHASE mode never reads it
     return cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx
 
 
@@ -257,8 +270,11 @@ def _v757_tail(
         for k in (2, 1)
     ]
     price_prev = jnp.concatenate(prev, axis=-1)  # [..., 2]
-    gd_at_slot = jnp.take_along_axis(
-        gd, jnp.clip(slots["slot_fft_index"], 0, gd.shape[-1] - 1), axis=-1
+    # one-hot pick, NOT take_along_axis: the general gather this lowers
+    # to on TPU measured 4.99 ms at [64, 512, 230] -> [.., 12] vs 63 us
+    # for the one-hot reduce (ops/gather.py), bitwise identical.
+    gd_at_slot = take_last(
+        gd, jnp.clip(slots["slot_fft_index"], 0, gd.shape[-1] - 1)
     )
 
     if jax.default_backend() != "cpu":
@@ -330,9 +346,8 @@ def _v757_tail(
     # leak ETA buffers (`PopulateLeakBuffers`, `:2290-2357`)
     # leak buffers go through CalculateScientificETASeconds, which indexes
     # the INDEX-convention fft_group_delay array (`:2290-2357`)
-    leak_gd = jnp.take_along_axis(
-        gd_idx, jnp.clip(slots["leak_fft_index"], 0, gd_idx.shape[-1] - 1),
-        axis=-1
+    leak_gd = take_last(
+        gd_idx, jnp.clip(slots["leak_fft_index"], 0, gd_idx.shape[-1] - 1)
     )
     leak_eta = leak_eta_bars(
         slots["leak_active"], slots["leak_period"], slots["leak_bars"],
@@ -507,17 +522,15 @@ def run_v757_batch_sharded(
 
 
 def _v757_spans(cfg: V757Config, hop: int) -> dict:
-    """Static pack layout (field -> column span) via shape-only tracing."""
+    """Static pack layout (field -> row-block index) via shape-only tracing."""
     shapes = jax.eval_shape(
         lambda s: _v757_device(s, cfg, hop),
         jax.ShapeDtypeStruct((cfg.window + 7 * hop,), jnp.float32),
     )
-    spans, pos = {}, 0
-    for k, v in sorted(shapes.items()):
-        width = 1 if k in _SCALAR_COLS else v.shape[-1]
-        spans[k] = (pos, pos + width, k in _SCALAR_COLS)
-        pos += width
-    return spans
+    return {
+        k: (i, i + 1, k in _SCALAR_COLS)
+        for i, k in enumerate(sorted(shapes))
+    }
 
 
 _INT_COLS = frozenset({"slot_uid"})
@@ -527,7 +540,13 @@ _SCALAR_COLS = frozenset({"confluence", "kalman"})
 
 def _pack_transfer(out: dict):
     """Pack a dict of [..., T]/[..., T, S] device arrays into one
-    [..., T, F] f32 buffer.
+    [..., n_fields * T, S] f32 buffer.
+
+    The concat runs along the T axis (sublane-tiled, a pure tile copy on
+    TPU) — concatenating along the 12-wide minor instead forces lane
+    shuffles at non-128 offsets on every field (chip-measured +5.1 ms of
+    the 20 ms B=64 call). Scalar fields broadcast across the S minor so
+    every block shares one shape; the waste is 2 of ~15 blocks.
 
     Integer columns (slot_uid) ride as BITCAST f32 lanes — a value cast
     would silently round uids above 2^24 (f32 spacing is 2 there, and
@@ -536,30 +555,36 @@ def _pack_transfer(out: dict):
     value exactly (no arithmetic touches the lanes, so denormal bit
     patterns survive the copy).
     """
-    cols = []
+    n_slots = next(
+        v.shape[-1] for k, v in out.items() if k not in _SCALAR_COLS
+    )
+    rows = []
     spans = {}
-    pos = 0
     # SORTED keys: the layout must be key-deterministic — `_v757_spans`
     # recomputes it independently for the sharded path, and a pytree
     # round-trip (vmap/jit) sorts dict keys anyway, so insertion order
     # is not stable across call paths.
-    for k, v in sorted(out.items()):
-        v2 = v[..., None] if k in _SCALAR_COLS else v
-        spans[k] = (pos, pos + v2.shape[-1], k in _SCALAR_COLS)
-        pos += v2.shape[-1]
+    for i, (k, v) in enumerate(sorted(out.items())):
+        if k in _SCALAR_COLS:
+            v2 = jnp.broadcast_to(v[..., None], (*v.shape, n_slots))
+        else:
+            v2 = v
+        spans[k] = (i, i + 1, k in _SCALAR_COLS)
         if k in _INT_COLS:
-            cols.append(jax.lax.bitcast_convert_type(
+            rows.append(jax.lax.bitcast_convert_type(
                 v2.astype(jnp.int32), jnp.float32))
         else:
-            cols.append(v2.astype(jnp.float32))
-    return jnp.concatenate(cols, axis=-1), spans
+            rows.append(v2.astype(jnp.float32))
+    return jnp.concatenate(rows, axis=-2), spans
 
 
 def _unpack_transfer(packed: np.ndarray, spans: dict) -> dict[str, np.ndarray]:
     """Host-side split of `_pack_transfer`'s buffer; exact dtype restore."""
+    n_fields = len(spans)
+    t_frames = packed.shape[-2] // n_fields
     result = {}
-    for k, (lo, hi, scalar) in spans.items():
-        arr = packed[..., lo:hi]
+    for k, (lo, _hi, scalar) in spans.items():
+        arr = packed[..., lo * t_frames : (lo + 1) * t_frames, :]
         if k in _BOOL_COLS:
             arr = arr > 0.5
         elif k in _INT_COLS:

@@ -31,6 +31,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from wavespec_tpu.ops.gather import take_last, take_rows
 
 from wavespec_tpu import extract as ex
 
@@ -134,8 +135,8 @@ def _select_slots(attrs: jax.Array, cfg: ReconstructConfig):
     rank = jnp.argsort(
         jnp.where(eligible, 0, 1) * k + jnp.arange(k), axis=-1
     )[..., : cfg.max_waves]
-    slot_attrs = jnp.take_along_axis(attrs, rank[..., None], axis=-2)
-    slot_valid = jnp.take_along_axis(eligible, rank, axis=-1)
+    slot_attrs = take_rows(attrs, rank)
+    slot_valid = take_last(eligible, rank)
     return slot_attrs, slot_valid
 
 
