@@ -37,6 +37,10 @@ from wavespec_tpu.ops.gather import take_last, take_rows
 from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
 from wavespec_tpu.ops.spectrum import band_indices
 
+# Bench-only escape hatch: force the XLA candidate-selection chain on
+# device (read at TRACE time — A/B harnesses must jit separate wrappers).
+_FORCE_XLA_SELECT = False
+
 __all__ = ["music_extract", "music_hp_period", "music_pseudospectrum"]
 
 
@@ -659,6 +663,35 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
     if upto == "pseudo":
         return out
 
+    if (upto not in ("peaks", "ridge") and not _FORCE_XLA_SELECT
+            and jax.default_backend() != "cpu"):
+        # Device path: the whole peaks -> ridge -> prerank selection in
+        # ONE Pallas launch (kernels.music_select_pallas) — the XLA
+        # stage chain below is ~0.6-0.8 ms of dispatch latency at 512
+        # windows while touching only [B, ~1.7k] floats. Bitwise-equal
+        # outputs (pinned by tests/test_music_select_pallas.py); the
+        # XLA chain remains the CPU/test path and the "peaks"/"ridge"
+        # profiling stops.
+        from wavespec_tpu.kernels.mxu_fft import rfft_mxu
+        from wavespec_tpu.kernels.music_select_pallas import (
+            select_candidates_pallas,
+        )
+
+        k_min_fb, k_max_fb = band_indices(n, cfg.min_period, cfg.max_period)
+        if seed_spec is None:
+            seed_spec = rfft_mxu(windows, max_bins=k_max_fb + 1)
+        band_power = (jnp.real(seed_spec) ** 2 + jnp.imag(seed_spec) ** 2)[
+            ..., k_min_fb : k_max_fb + 1
+        ]
+        sel = select_candidates_pallas(pseudo, band_power, cfg)
+        freq, valid, gidx = sel["freq"], sel["valid"], sel["gidx"]
+        vals, step0 = sel["vals"], sel["step0"]
+        out.update(freq=freq, valid=valid, gidx=gidx, vals=vals,
+                   step0=step0)
+        if upto == "prerank":
+            return out
+        return _refine_and_fit(windows, cfg, out, upto)
+
     # Candidate stage: top-k local maxima PER SUB-BAND (exclusion radius =
     # one FFT bin of frequency), all bands batched into one greedy loop.
     # Cross-band pseudospectrum magnitudes are not comparable (each band
@@ -766,7 +799,14 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
     out.update(freq=freq, valid=valid, gidx=gidx, vals=vals, step0=step0)
     if upto == "prerank":
         return out
+    return _refine_and_fit(windows, cfg, out, upto)
 
+
+def _refine_and_fit(windows: jax.Array, cfg, out: dict,
+                    upto: str | None) -> dict:
+    """Shared tail of `music_candidates`: parabolic refine + LS fit."""
+    n = cfg.window
+    freq, valid, step0 = out["freq"], out["valid"], out["step0"]
     freq, _ = _refine_freq(windows, freq, step=step0)
 
     # Refinement can merge two distinct grid peaks onto one frequency;
