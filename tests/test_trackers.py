@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from wavespec_tpu.analyze.trackers import TrackerConfig, track_frames
 
@@ -161,16 +162,20 @@ def _random_candidate_stream(t=40, j=6, seed=0, batch=()):
             jnp.asarray(valid))
 
 
-def test_tracker_pallas_interpret_matches_xla_scan():
+@pytest.mark.parametrize("frames_per_step", [1, 3, 4])
+def test_tracker_pallas_interpret_matches_xla_scan(frames_per_step):
     """The single-launch Pallas tracker (kernels.tracker_pallas) must
     reproduce the XLA scan bit-for-bit on every output and the final
-    state — same matcher semantics, same tie-breaks, same uid order."""
+    state — same matcher semantics, same tie-breaks, same uid order —
+    at every frames-per-grid-step unroll (t=50 is divisible by none of
+    the >1 unrolls, so the padded-tail state freeze is exercised)."""
     from wavespec_tpu.kernels.tracker_pallas import track_frames_pallas
 
     cfg = TrackerConfig(capacity=16, leak_min_bars=2)
     frames = _random_candidate_stream(t=50, j=6, seed=3)
     want, wstate = track_frames(*frames, cfg=cfg)
-    got, gstate = track_frames_pallas(*frames, cfg, interpret=True)
+    got, gstate = track_frames_pallas(
+        *frames, cfg, interpret=True, frames_per_step=frames_per_step)
     for k in want:
         np.testing.assert_array_equal(
             np.asarray(got[k]), np.asarray(want[k]), err_msg=k

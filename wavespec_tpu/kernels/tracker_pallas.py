@@ -20,6 +20,17 @@ semantics as `trackers.tracker_step` (sequential_match=False), kept
 op-for-op comparable so the two paths agree bitwise on every output
 (parity pinned by tests/test_trackers.py).
 
+I/O is packed — ONE f32 + ONE i32 array on each side instead of 4 + 23
+blocks (each extra block is a per-step DMA descriptor for Mosaic to
+schedule; measured ~2% at B=64). `frames_per_step` unrolls F frames
+per grid step with the state chained through registers — measured and
+REJECTED as the default: the kernel is VPU-compute-bound, not
+grid-overhead-bound (chip A/B at B=64/128, 512 frames: F=1 5.9 ms,
+F=2 5.86, F=4 6.96, F=6 6.75, F=8 OOMs scoped VMEM), so unrolling only
+adds register pressure. The knob stays for shapes where the balance
+differs; frames past the true length are masked out of the state
+chain, so any T works.
+
 Routing: `analyze.trackers.track_frames` uses this kernel on non-CPU
 backends for the vectorized matcher; CPU/tests and the reference-exact
 sequential matcher keep the XLA scan.
@@ -38,52 +49,29 @@ from wavespec_tpu.kernels.fused_dft import out_struct
 
 LANES = 128
 BIG = 1e30
+FRAMES_PER_STEP = 1
 
 
-def _kernel(
-    cand_p_ref, cand_pw_ref, cand_fi_ref, cand_v_ref,
-    # outputs [1, S, B] per grid step
-    sp_ref, spw_ref, sfi_ref, sv_ref, su_ref,
-    la_ref, lu_ref, lp_ref, lpw_ref, lfi_ref, lb_ref,
-    # final-state outputs (same block every step; last write wins)
-    fs_p, fs_pw, fs_fi, fs_alive, fs_seen, fs_bi, fs_uid, fs_next,
-    fs_slot, fs_lact, fs_luid, fs_lbars,
-    # VMEM scratch: persistent tracker state across the frame grid axis
-    st_p, st_pw, st_fi, st_alive, st_bi, st_uid, st_next, st_slot, st_lact,
-    st_luid, st_lbars,
+def _advance(
+    state, cand_f, cand_i,
     *, j_cand: int, capacity: int, n_slots: int, tol: float,
     max_inactive: int, leak_pr: float, leak_wr: float, leak_min: int,
     leak_max: int,
 ):
+    """One tracker frame: state tuple -> (new state tuple, f32 out rows,
+    i32 out rows). All state entries are numeric [rows, LANES] tiles
+    (bools ride as i32) so the caller can mask padded frames with a
+    plain jnp.where."""
     c = capacity
     imax = jnp.iinfo(jnp.int32).max
+    (period, power, fft_index, alive_i, bi0, uid, next_uid,
+     slot_uid_in, lact_in, luid_in, lbars_in) = state
+    alive0 = alive_i != 0
 
-    @pl.when(pl.program_id(1) == 0)
-    def _init():
-        st_p[:] = jnp.zeros((c, LANES), jnp.float32)
-        st_pw[:] = jnp.zeros((c, LANES), jnp.float32)
-        st_fi[:] = jnp.zeros((c, LANES), jnp.int32)
-        st_alive[:] = jnp.zeros((c, LANES), jnp.int32)
-        st_bi[:] = jnp.zeros((c, LANES), jnp.int32)
-        st_uid[:] = jnp.zeros((c, LANES), jnp.int32)
-        st_next[:] = jnp.ones((1, LANES), jnp.int32)
-        st_slot[:] = jnp.zeros((n_slots, LANES), jnp.int32)
-        st_lact[:] = jnp.zeros((n_slots, LANES), jnp.int32)
-        st_luid[:] = jnp.zeros((n_slots, LANES), jnp.int32)
-        st_lbars[:] = jnp.zeros((n_slots, LANES), jnp.int32)
-
-    period = st_p[:]
-    power = st_pw[:]
-    fft_index = st_fi[:]
-    alive0 = st_alive[:] != 0            # frame-start aliveness
-    bi0 = st_bi[:]
-    uid = st_uid[:]
-    next_uid = st_next[:]                # [1, B]
-
-    cand_p = cand_p_ref[0]               # [J, B]
-    cand_pw = cand_pw_ref[0]
-    cand_fi = cand_fi_ref[0]
-    cand_ok = cand_v_ref[0] != 0
+    cand_p = cand_f[:j_cand]             # [J, B]
+    cand_pw = cand_f[j_cand:]
+    cand_fi = cand_i[:j_cand]
+    cand_ok = cand_i[j_cand:] != 0
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (c, LANES), 0)
     eligible = alive0 & (bi0 == 0)
@@ -156,7 +144,6 @@ def _kernel(
     # ---- stable slots: keep by uid while alive, fill free slots with
     # the strongest unused alive trackers (power desc, uid asc) ----
     uid_alive = jnp.where(alive, uid, 0)
-    slot_uid_in = st_slot[:]             # [S, B]
 
     keep = []
     rowsel = []                          # per-slot [C, B] one-hot
@@ -206,9 +193,6 @@ def _kernel(
 
     # ---- leakage detection per slot ----
     active_now = alive & seen
-    lact_in = st_lact[:]                 # [S, B]
-    luid_in = st_luid[:]
-    lbars_in = st_lbars[:]
 
     la_out, lu_out, lp_out, lpw_out, lfi_out, lb_out = [], [], [], [], [], []
     lact_new, luid_new, lbars_new = [], [], []
@@ -248,52 +232,121 @@ def _kernel(
         lfi_out.append(jnp.where(found, pick_i32(onehot, fft_index), 0))
         lb_out.append(jnp.where(found, bars, 0))
 
+    new_state = (
+        period, power, fft_index, alive.astype(jnp.int32), bars_inactive,
+        uid, next_uid,
+        jnp.concatenate(slot_uid_new, axis=0),
+        jnp.concatenate(lact_new, axis=0),
+        jnp.concatenate(luid_new, axis=0),
+        jnp.concatenate(lbars_new, axis=0),
+    )
+    seen_i = seen.astype(jnp.int32)
+    out_f = jnp.concatenate(slot_p + slot_pw + lp_out + lpw_out, axis=0)
+    out_i = jnp.concatenate(
+        slot_fi + [v.astype(jnp.int32) for v in slot_v] + slot_u
+        + la_out + lu_out + lfi_out + lb_out,
+        axis=0,
+    )
+    return new_state, seen_i, out_f, out_i
+
+
+def _kernel(
+    # packed inputs [1, F*2J, B]: (periods; powers) f32,
+    # (fft_idx; valid) i32 — F frames per grid step, frame-major rows
+    cf_ref, ci_ref,
+    # packed per-frame outputs [1, F*4S, B] f32 / [1, F*7S, B] i32
+    of_ref, oi_ref,
+    # packed final-state outputs (same block every step; Mosaic keeps a
+    # constant-index output block resident and copies it out once)
+    ff_ref, fi_ref,
+    # VMEM scratch: persistent tracker state across the frame grid axis
+    st_p, st_pw, st_fi, st_alive, st_bi, st_uid, st_next, st_slot, st_lact,
+    st_luid, st_lbars,
+    *, j_cand: int, capacity: int, n_slots: int, tol: float,
+    max_inactive: int, leak_pr: float, leak_wr: float, leak_min: int,
+    leak_max: int, f_frames: int, t_total: int,
+):
+    c = capacity
+    s = n_slots
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        st_p[:] = jnp.zeros((c, LANES), jnp.float32)
+        st_pw[:] = jnp.zeros((c, LANES), jnp.float32)
+        st_fi[:] = jnp.zeros((c, LANES), jnp.int32)
+        st_alive[:] = jnp.zeros((c, LANES), jnp.int32)
+        st_bi[:] = jnp.zeros((c, LANES), jnp.int32)
+        st_uid[:] = jnp.zeros((c, LANES), jnp.int32)
+        st_next[:] = jnp.ones((1, LANES), jnp.int32)
+        st_slot[:] = jnp.zeros((s, LANES), jnp.int32)
+        st_lact[:] = jnp.zeros((s, LANES), jnp.int32)
+        st_luid[:] = jnp.zeros((s, LANES), jnp.int32)
+        st_lbars[:] = jnp.zeros((s, LANES), jnp.int32)
+
+    state = (
+        st_p[:], st_pw[:], st_fi[:], st_alive[:], st_bi[:], st_uid[:],
+        st_next[:], st_slot[:], st_lact[:], st_luid[:], st_lbars[:],
+    )
+    cand_f_all = cf_ref[0]               # [F*2J, B]
+    cand_i_all = ci_ref[0]
+    seen_last = None
+
+    adv = partial(
+        _advance, j_cand=j_cand, capacity=c, n_slots=s, tol=tol,
+        max_inactive=max_inactive, leak_pr=leak_pr, leak_wr=leak_wr,
+        leak_min=leak_min, leak_max=leak_max,
+    )
+    for f in range(f_frames):
+        cand_f = cand_f_all[f * 2 * j_cand : (f + 1) * 2 * j_cand]
+        cand_i = cand_i_all[f * 2 * j_cand : (f + 1) * 2 * j_cand]
+        new_state, seen_i, out_f, out_i = adv(state, cand_f, cand_i)
+        if f_frames > 1 and (t_total % f_frames) != 0:
+            # frames past t_total are padding: keep the state frozen so
+            # the final-state mirror reflects frame t_total-1
+            real = (pl.program_id(1) * f_frames + f) < t_total
+            state = tuple(
+                jnp.where(real, n, o) for n, o in zip(new_state, state)
+            )
+            seen_last = (
+                seen_i if seen_last is None
+                else jnp.where(real, seen_i, seen_last)
+            )
+        else:
+            state = new_state
+            seen_last = seen_i
+        of_ref[0, f * 4 * s : (f + 1) * 4 * s] = out_f
+        oi_ref[0, f * 7 * s : (f + 1) * 7 * s] = out_i
+
+    (period, power, fft_index, alive_i, bars_inactive, uid, next_uid,
+     slot_uid, lact, luid, lbars) = state
+
     # ---- persist state ----
     st_p[:] = period
     st_pw[:] = power
     st_fi[:] = fft_index
-    st_alive[:] = alive.astype(jnp.int32)
+    st_alive[:] = alive_i
     st_bi[:] = bars_inactive
     st_uid[:] = uid
     st_next[:] = next_uid
-    st_slot[:] = jnp.concatenate(slot_uid_new, axis=0)
-    st_lact[:] = jnp.concatenate(lact_new, axis=0)
-    st_luid[:] = jnp.concatenate(luid_new, axis=0)
-    st_lbars[:] = jnp.concatenate(lbars_new, axis=0)
+    st_slot[:] = slot_uid
+    st_lact[:] = lact
+    st_luid[:] = luid
+    st_lbars[:] = lbars
 
     # ---- final state mirror (drop-in parity with the XLA scan's carry;
-    # the same block is revisited every step, so the last frame's write
-    # is what lands in HBM) ----
-    fs_p[:] = period
-    fs_pw[:] = power
-    fs_fi[:] = fft_index
-    fs_alive[:] = alive.astype(jnp.int32)
-    fs_seen[:] = seen.astype(jnp.int32)
-    fs_bi[:] = bars_inactive
-    fs_uid[:] = uid
-    fs_next[:] = next_uid
-    fs_slot[:] = jnp.concatenate(slot_uid_new, axis=0)
-    fs_lact[:] = jnp.concatenate(lact_new, axis=0)
-    fs_luid[:] = jnp.concatenate(luid_new, axis=0)
-    fs_lbars[:] = jnp.concatenate(lbars_new, axis=0)
-
-    # ---- per-frame outputs ----
-    sp_ref[0] = jnp.concatenate(slot_p, axis=0)
-    spw_ref[0] = jnp.concatenate(slot_pw, axis=0)
-    sfi_ref[0] = jnp.concatenate(slot_fi, axis=0)
-    sv_ref[0] = jnp.concatenate(
-        [v.astype(jnp.int32) for v in slot_v], axis=0
+    # the same block is revisited every step, so the last step's write
+    # is what lands in HBM). ONE f32 + ONE i32 output instead of twelve:
+    # every extra output block is another per-step DMA descriptor for
+    # Mosaic to schedule. ----
+    ff_ref[:] = jnp.concatenate([period, power], axis=0)
+    fi_ref[:] = jnp.concatenate(
+        [fft_index, alive_i, seen_last, bars_inactive, uid, next_uid,
+         slot_uid, lact, luid, lbars],
+        axis=0,
     )
-    su_ref[0] = jnp.concatenate(slot_u, axis=0)
-    la_ref[0] = jnp.concatenate(la_out, axis=0)
-    lu_ref[0] = jnp.concatenate(lu_out, axis=0)
-    lp_ref[0] = jnp.concatenate(lp_out, axis=0)
-    lpw_ref[0] = jnp.concatenate(lpw_out, axis=0)
-    lfi_ref[0] = jnp.concatenate(lfi_out, axis=0)
-    lb_ref[0] = jnp.concatenate(lb_out, axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "interpret", "frames_per_step"))
 def track_frames_pallas(
     cand_periods: jax.Array,   # [..., T, J] f32
     cand_powers: jax.Array,    # [..., T, J] f32
@@ -301,6 +354,7 @@ def track_frames_pallas(
     cand_valid: jax.Array,     # [..., T, J] bool
     cfg,
     interpret: bool = False,
+    frames_per_step: int = FRAMES_PER_STEP,
 ):
     """Batched tracker scan in one Pallas launch.
 
@@ -313,37 +367,50 @@ def track_frames_pallas(
     lead = cand_periods.shape[:-2]
     t_frames, j_cand = cand_periods.shape[-2:]
     c, s = cfg.capacity, cfg.n_slots
+    ff = max(1, min(int(frames_per_step), t_frames))
+    t_pad = -(-t_frames // ff) * ff
 
     def to_lanes(a, dt):
         x = a.astype(dt).reshape(-1, t_frames, j_cand)
         x = jnp.moveaxis(x, 0, -1)                       # [T, J, B]
         b = x.shape[-1]
         b_pad = -(-b // LANES) * LANES
-        if b_pad != b:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, b_pad - b)))
+        if b_pad != b or t_pad != t_frames:
+            x = jnp.pad(
+                x, ((0, t_pad - t_frames), (0, 0), (0, b_pad - b))
+            )
         return x
 
-    cp = to_lanes(cand_periods, jnp.float32)
-    cw = to_lanes(cand_powers, jnp.float32)
-    cf = to_lanes(cand_fft_idx, jnp.int32)
-    cv = to_lanes(cand_valid, jnp.int32)
-    b_pad = cp.shape[-1]
-    b = max(1, int(np_prod(lead)))
+    # Packed inputs/outputs: one f32 + one i32 array on each side (the
+    # per-step DMA descriptor count is part of the fixed grid-step
+    # cost), F frames per block so the sequential grid runs T/F steps.
+    cf32 = jnp.concatenate(
+        [to_lanes(cand_periods, jnp.float32),
+         to_lanes(cand_powers, jnp.float32)], axis=1,
+    ).reshape(t_pad // ff, ff * 2 * j_cand, -1)     # [T/F, F*2J, Bp]
+    ci32 = jnp.concatenate(
+        [to_lanes(cand_fft_idx, jnp.int32),
+         to_lanes(cand_valid, jnp.int32)], axis=1,
+    ).reshape(t_pad // ff, ff * 2 * j_cand, -1)
+    b_pad = cf32.shape[-1]
+    b = max(1, np_prod(lead))
+    n_fi = 5 * c + 1 + 4 * s
 
-    grid = (b_pad // LANES, t_frames)
-    in_spec = pl.BlockSpec((1, j_cand, LANES), lambda i, t: (t, 0, i),
+    grid = (b_pad // LANES, t_pad // ff)
+    in_spec = pl.BlockSpec((1, ff * 2 * j_cand, LANES),
+                           lambda i, t: (t, 0, i),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, s, LANES), lambda i, t: (t, 0, i),
-                            memory_space=pltpu.VMEM)
+    of_spec = pl.BlockSpec((1, ff * 4 * s, LANES), lambda i, t: (t, 0, i),
+                           memory_space=pltpu.VMEM)
+    oi_spec = pl.BlockSpec((1, ff * 7 * s, LANES), lambda i, t: (t, 0, i),
+                           memory_space=pltpu.VMEM)
     # Final-state outputs revisit the same block for every t of a batch
-    # tile — only the last frame's write survives, which IS the final
+    # tile — only the last step's write survives, which IS the final
     # state.
-    c_spec = pl.BlockSpec((c, LANES), lambda i, t: (0, i),
-                          memory_space=pltpu.VMEM)
-    s_spec = pl.BlockSpec((s, LANES), lambda i, t: (0, i),
-                          memory_space=pltpu.VMEM)
-    one_spec = pl.BlockSpec((1, LANES), lambda i, t: (0, i),
-                            memory_space=pltpu.VMEM)
+    ff_spec = pl.BlockSpec((2 * c, LANES), lambda i, t: (0, i),
+                           memory_space=pltpu.VMEM)
+    fi_spec = pl.BlockSpec((n_fi, LANES), lambda i, t: (0, i),
+                           memory_space=pltpu.VMEM)
 
     kernel = partial(
         _kernel, j_cand=j_cand, capacity=c, n_slots=s,
@@ -351,31 +418,18 @@ def track_frames_pallas(
         leak_pr=float(cfg.leak_period_ratio),
         leak_wr=float(cfg.leak_power_ratio),
         leak_min=int(cfg.leak_min_bars), leak_max=int(cfg.leak_max_bars),
+        f_frames=ff, t_total=t_frames,
     )
-    f32o = lambda: out_struct((t_frames, s, b_pad), jnp.float32, cp)
-    i32o = lambda: out_struct((t_frames, s, b_pad), jnp.int32, cp)
-    fso = lambda shp, dt: out_struct(shp, dt, cp)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in_spec] * 4,
-        out_specs=[out_spec] * 11
-        + [c_spec] * 7 + [one_spec] + [s_spec] * 4,
+        in_specs=[in_spec, in_spec],
+        out_specs=[of_spec, oi_spec, ff_spec, fi_spec],
         out_shape=[
-            f32o(), f32o(), i32o(), i32o(), i32o(),   # slot p/pw/fi/valid/uid
-            i32o(), i32o(), f32o(), f32o(), i32o(), i32o(),  # leak fields
-            fso((c, b_pad), jnp.float32),   # state period
-            fso((c, b_pad), jnp.float32),   # state power
-            fso((c, b_pad), jnp.int32),     # state fft_index
-            fso((c, b_pad), jnp.int32),     # state alive
-            fso((c, b_pad), jnp.int32),     # state seen_now
-            fso((c, b_pad), jnp.int32),     # state bars_inactive
-            fso((c, b_pad), jnp.int32),     # state uid
-            fso((1, b_pad), jnp.int32),     # state next_uid
-            fso((s, b_pad), jnp.int32),     # state slot_uid
-            fso((s, b_pad), jnp.int32),     # state leak_active
-            fso((s, b_pad), jnp.int32),     # state leak_uid
-            fso((s, b_pad), jnp.int32),     # state leak_bars
+            out_struct((t_pad // ff, ff * 4 * s, b_pad), jnp.float32, cf32),
+            out_struct((t_pad // ff, ff * 7 * s, b_pad), jnp.int32, cf32),
+            out_struct((2 * c, b_pad), jnp.float32, cf32),
+            out_struct((n_fi, b_pad), jnp.int32, cf32),
         ],
         scratch_shapes=[
             pltpu.VMEM((c, LANES), jnp.float32),   # period
@@ -391,50 +445,50 @@ def track_frames_pallas(
             pltpu.VMEM((s, LANES), jnp.int32),     # leak_bars
         ],
         interpret=interpret,
-    )(cp, cw, cf, cv)
+    )(cf32, ci32)
 
-    def back(x, dt=None):
-        y = jnp.moveaxis(x[..., :b], -1, 0)        # [B, T, S]
-        y = y.reshape(*lead, t_frames, s)
+    of, oi, ffin, fi = outs
+    of = of.reshape(t_pad, 4 * s, b_pad)[:t_frames]
+    oi = oi.reshape(t_pad, 7 * s, b_pad)[:t_frames]
+
+    def back(x, row, dt=None):
+        y = x[:, row * s : (row + 1) * s, :b]      # [T, S, B]
+        y = jnp.moveaxis(y, -1, 0).reshape(*lead, t_frames, s)
         return y if dt is None else y.astype(dt)
 
-    def back_state(x, dt=None, scalar=False):
-        y = jnp.moveaxis(x[..., :b], -1, 0)        # [B, rows]
-        y = y.reshape(*lead, x.shape[0]) if not scalar else \
-            y.reshape(*lead)
+    def back_state(x, r0, rows, dt=None, scalar=False):
+        y = jnp.moveaxis(x[r0 : r0 + rows, :b], -1, 0)   # [B, rows]
+        y = y.reshape(*lead, rows) if not scalar else y.reshape(*lead)
         return y if dt is None else y.astype(dt)
 
-    (sp, spw, sfi, sv, su, la, lu, lp, lpw, lfi, lb,
-     fp, fpw, ffi, fal, fse, fbi, fuid, fnext, fslot, flact, fluid,
-     flbars) = outs
     from wavespec_tpu.analyze.trackers import TrackerState
 
     state = TrackerState(
-        period=back_state(fp),
-        fft_index=back_state(ffi),
-        power=back_state(fpw),
-        alive=back_state(fal, bool),
-        seen_now=back_state(fse, bool),
-        bars_inactive=back_state(fbi),
-        uid=back_state(fuid),
-        next_uid=back_state(fnext[0:1], scalar=True),
-        slot_uid=back_state(fslot),
-        leak_active=back_state(flact, bool),
-        leak_uid=back_state(fluid),
-        leak_bars=back_state(flbars),
+        period=back_state(ffin, 0, c),
+        fft_index=back_state(fi, 0, c),
+        power=back_state(ffin, c, c),
+        alive=back_state(fi, c, c, bool),
+        seen_now=back_state(fi, 2 * c, c, bool),
+        bars_inactive=back_state(fi, 3 * c, c),
+        uid=back_state(fi, 4 * c, c),
+        next_uid=back_state(fi, 5 * c, 1, scalar=True),
+        slot_uid=back_state(fi, 5 * c + 1, s),
+        leak_active=back_state(fi, 5 * c + 1 + s, s, bool),
+        leak_uid=back_state(fi, 5 * c + 1 + 2 * s, s),
+        leak_bars=back_state(fi, 5 * c + 1 + 3 * s, s),
     )
     outs_dict = {
-        "slot_period": back(sp),
-        "slot_power": back(spw),
-        "slot_fft_index": back(sfi),
-        "slot_valid": back(sv, bool),
-        "slot_uid": back(su),
-        "leak_active": back(la, bool),
-        "leak_uid": back(lu),
-        "leak_period": back(lp),
-        "leak_power": back(lpw),
-        "leak_fft_index": back(lfi),
-        "leak_bars": back(lb),
+        "slot_period": back(of, 0),
+        "slot_power": back(of, 1),
+        "slot_fft_index": back(oi, 0),
+        "slot_valid": back(oi, 1, bool),
+        "slot_uid": back(oi, 2),
+        "leak_active": back(oi, 3, bool),
+        "leak_uid": back(oi, 4),
+        "leak_period": back(of, 2),
+        "leak_power": back(of, 3),
+        "leak_fft_index": back(oi, 5),
+        "leak_bars": back(oi, 6),
     }
     return outs_dict, state
 
