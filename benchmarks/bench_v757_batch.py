@@ -54,7 +54,7 @@ def main() -> None:
         return acc
 
     print(f"window={window} frames/sym={n_frames} (v757 full analytics)")
-    for n_sym in (1, 8, 32, 64):
+    for n_sym in (1, 64, 128):
         x = batch(n_sym)
         k = 6
         float(chain(x, 1))  # compile both shapes
