@@ -75,6 +75,14 @@ class V757Config:
     followfirst: FollowFirstConfig = FollowFirstConfig()
 
 
+def _gd_lo(cfg: V757Config) -> int:
+    """First absolute bin of the band-sliced gd/gd_idx arrays returned
+    by `_spectral_frames` (slice [k_min-1, min(k_max+2, n_bins-1)]);
+    picks subtract this offset."""
+    k_min, _ = band_indices(cfg.window, cfg.min_period, cfg.max_period)
+    return max(k_min - 1, 0)
+
+
 @partial(jax.jit, static_argnames=("cfg", "hop"))
 def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
     """Batched per-frame spectrum work: candidates + group delay at bins.
@@ -186,21 +194,28 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
             cand_valid, n / jnp.maximum(cand_idx.astype(jnp.float32), 1.0), 0.0
         )
 
-    # Group delay over the full bin plane, but via wrapped phase DIFFS —
-    # unwrap corrections telescope (uw[k+1]-uw[k] is exactly the
-    # principal-folded raw difference), so the unwrap cumsum and the uw
-    # materialization are skipped. Evaluating ONLY at the <= 24 slot/leak
-    # bins instead was measured catastrophically WORSE on-chip: a
-    # take_along_axis on the complex spec is a general gather (+31 ms at
-    # B=64 vs ~1.4 ms for the full plane + two real-array gathers).
+    # Group delay via wrapped phase DIFFS — unwrap corrections telescope
+    # (uw[k+1]-uw[k] is exactly the principal-folded raw difference), so
+    # the unwrap cumsum and the uw materialization are skipped.
+    # Evaluating ONLY at the <= 24 slot/leak bins instead was measured
+    # catastrophically WORSE on-chip: a take_along_axis on the complex
+    # spec is a general gather (+31 ms at B=64 vs ~1.4 ms for the plane
+    # + two real-array gathers). The plane IS band-sliced though: every
+    # downstream pick reads bins in [k_min, k_max] (slot/leak fft
+    # indices), which are INTERIOR to a [k_min-1, k_max+1] slice, so the
+    # arctan2/diff work shrinks ~1/3 with bitwise-identical picks; the
+    # returned gd/gd_idx arrays are indexed by (bin - gd_lo), see
+    # `_gd_lo` (used by `_v757_tail`).
     from wavespec_tpu.ops.phase import _wrap_principal
 
-    ph = fft_phase(spec)
+    lo = _gd_lo(cfg)
+    hi_p = min(k_max + 2, n_bins - 1)       # last phase bin (inclusive)
+    ph = fft_phase(spec[..., lo : hi_p + 1])
     d = _wrap_principal(jnp.diff(ph, axis=-1))          # uw[k+1]-uw[k]
     interior = 0.5 * (d[..., 1:] + d[..., :-1])
     g = jnp.concatenate(
         [d[..., :1], interior, d[..., -1:]], axis=-1
-    )  # == jnp.gradient(unwrap_phase(ph), axis=-1)
+    )  # rows 1..w-2 == jnp.gradient(unwrap_phase(full ph))[lo+1 : hi_p]
     gd_idx = jnp.clip(-g, -GROUP_DELAY_CLAMP, GROUP_DELAY_CLAMP)
     # Two reference conventions (see ops.phase):
     # - `fft_group_delay` (indexed by CalculateScientificETASeconds in
@@ -272,9 +287,13 @@ def _v757_tail(
     price_prev = jnp.concatenate(prev, axis=-1)  # [..., 2]
     # one-hot pick, NOT take_along_axis: the general gather this lowers
     # to on TPU measured 4.99 ms at [64, 512, 230] -> [.., 12] vs 63 us
-    # for the one-hot reduce (ops/gather.py), bitwise identical.
+    # for the one-hot reduce (ops/gather.py), bitwise identical. gd is
+    # band-sliced (indexed by bin - gd_lo); invalid slots (fft_index 0)
+    # clip to row 0, whose garbage is gated by slot_valid downstream
+    # exactly as the full-plane bin-0 pick was.
+    gd_lo = _gd_lo(cfg)
     gd_at_slot = take_last(
-        gd, jnp.clip(slots["slot_fft_index"], 0, gd.shape[-1] - 1)
+        gd, jnp.clip(slots["slot_fft_index"] - gd_lo, 0, gd.shape[-1] - 1)
     )
 
     if jax.default_backend() != "cpu":
@@ -347,7 +366,8 @@ def _v757_tail(
     # leak buffers go through CalculateScientificETASeconds, which indexes
     # the INDEX-convention fft_group_delay array (`:2290-2357`)
     leak_gd = take_last(
-        gd_idx, jnp.clip(slots["leak_fft_index"], 0, gd_idx.shape[-1] - 1)
+        gd_idx,
+        jnp.clip(slots["leak_fft_index"] - gd_lo, 0, gd_idx.shape[-1] - 1),
     )
     leak_eta = leak_eta_bars(
         slots["leak_active"], slots["leak_period"], slots["leak_bars"],
