@@ -187,6 +187,25 @@ def test_tracker_pallas_interpret_matches_xla_scan(frames_per_step):
         )
 
 
+def test_tracker_pallas_interpret_many_candidates():
+    """J above J_CHUNK (the reference-exact all-bins candidate counts)
+    exercises the multi-slab matching/alloc merge — still bitwise."""
+    from wavespec_tpu.kernels import tracker_pallas as TP
+
+    cfg = TrackerConfig(capacity=16, leak_min_bars=2)
+    frames = _random_candidate_stream(t=24, j=TP.J_CHUNK + 9, seed=5)
+    want, wstate = track_frames(*frames, cfg=cfg)
+    got, gstate = TP.track_frames_pallas(*frames, cfg, interpret=True)
+    for k in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+        )
+    np.testing.assert_array_equal(
+        np.asarray(gstate.uid), np.asarray(wstate.uid))
+    np.testing.assert_array_equal(
+        np.asarray(gstate.next_uid), np.asarray(wstate.next_uid))
+
+
 def test_tracker_pallas_interpret_batched():
     """Leading batch dims ride the lanes; every symbol matches its own
     single-series run exactly."""

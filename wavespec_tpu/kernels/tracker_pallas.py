@@ -50,6 +50,17 @@ from wavespec_tpu.kernels.fused_dft import out_struct
 LANES = 128
 BIG = 1e30
 FRAMES_PER_STEP = 1
+# Candidates per [Jc, C, B] matching slab: 32 covers the default J=24 in
+# one fully-parallel block; larger J (reference-exact all-bins mode,
+# J ~ 149) tiles across slabs to stay inside scoped VMEM.
+J_CHUNK = 32
+
+
+def _slab(x, lo, hi):
+    """x[lo:hi, None, :] without the mixed slice+newaxis getitem (jnp
+    lowers that through a gather, which Mosaic rejects for non-trivial
+    static slices)."""
+    return jax.lax.slice_in_dim(x, lo, hi, axis=0)[:, None, :]
 
 
 def _cumsum_rows(x):
@@ -106,44 +117,79 @@ def _advance(
     # ---- candidate -> tracker matching (`_match_candidates` semantics:
     # per candidate the closest eligible in-tolerance tracker by period
     # diff, first row on ties; per tracker the smallest-diff winning
-    # candidate, first candidate on ties) ----
-    cp3 = cand_p[:, None, :]             # [J, 1, B]
-    per3 = period[None]                  # [1, C, B]
-    diff = jnp.abs(cp3 - per3)           # [J, C, B]
-    avg = 0.5 * (cp3 + per3)
-    pct = diff / jnp.maximum(avg, 1e-30) * 100.0
-    ok3 = (
-        cand_ok[:, None, :]
-        & eligible[None]
-        & (cp3 > 0)
-        & (per3 > 0)
-        & (pct <= tol)
-    )
-    cost = jnp.where(ok3, diff, BIG)     # [J, C, B]
-    best_cost = jnp.min(cost, axis=1, keepdims=True)       # [J, 1, B]
-    matched = best_cost < BIG
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (j_c, c, LANES), 1)
-    sel_row = jnp.min(
-        jnp.where(cost == best_cost, c_iota, c), axis=1, keepdims=True
-    )
-    onehot = (c_iota == sel_row) & matched                 # [J, C, B]
-    csel = jnp.where(onehot, cost, BIG)
-    trk_best = jnp.min(csel, axis=0)                       # [C, B]
+    # candidate, first candidate on ties). Candidates are processed in
+    # J_CHUNK-wide [Jc, C, B] tensor slabs: one slab of J=24 covers the
+    # default config in a single fully-parallel block, while the
+    # reference-exact all-bins mode (n_candidates=0, J~149 at window
+    # 4096) stays inside scoped VMEM (a monolithic [149, 64, 128] f32
+    # temp is ~4.9 MB and a handful of them OOM the 16 MB budget).
+    # Cross-slab conflict resolution is a lexicographic (cost, j) merge
+    # — identical to the single-slab min-reductions. ----
+    imax_f = BIG
+    trk_best = jnp.full((c, LANES), imax_f, jnp.float32)   # min cost
+    wj_best = jnp.full((c, LANES), j_c, jnp.int32)         # its first j
+    matched_rows = []                                      # [Jc, B] per slab
+    for lo in range(0, j_c, J_CHUNK):
+        hi = min(lo + J_CHUNK, j_c)
+        jc = hi - lo
+        cp3 = _slab(cand_p, lo, hi)     # [Jc, 1, B]
+        per3 = period[None]              # [1, C, B]
+        diff = jnp.abs(cp3 - per3)       # [Jc, C, B]
+        avg = 0.5 * (cp3 + per3)
+        pct = diff / jnp.maximum(avg, 1e-30) * 100.0
+        ok3 = (
+            _slab(cand_ok, lo, hi)
+            & eligible[None]
+            & (cp3 > 0)
+            & (per3 > 0)
+            & (pct <= tol)
+        )
+        cost = jnp.where(ok3, diff, BIG)                   # [Jc, C, B]
+        best_cost = jnp.min(cost, axis=1, keepdims=True)   # [Jc, 1, B]
+        matched = best_cost < BIG
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (jc, c, LANES), 1)
+        sel_row = jnp.min(
+            jnp.where(cost == best_cost, c_iota, c), axis=1, keepdims=True
+        )
+        onehot = (c_iota == sel_row) & matched             # [Jc, C, B]
+        csel = jnp.where(onehot, cost, BIG)
+        slab_best = jnp.min(csel, axis=0)                  # [C, B]
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (jc, c, LANES), 0)
+        slab_wj = jnp.min(
+            jnp.where(csel == slab_best[None], j_iota + lo, j_c), axis=0
+        )                                                  # [C, B]
+        # lex merge with the running winner: strictly-smaller cost wins;
+        # equal cost keeps the earlier j (slabs ascend in j, so a tie
+        # never displaces the running winner)
+        better = slab_best < trk_best
+        trk_best = jnp.where(better, slab_best, trk_best)
+        wj_best = jnp.where(better, slab_wj, wj_best)
+        matched_rows.append(matched[:, 0, :])
+
     trk_matched = trk_best < BIG
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (j_c, c, LANES), 0)
-    wj = jnp.min(
-        jnp.where(csel == trk_best[None], j_iota, j_c), axis=0
-    )                                                      # [C, B]
-    woh = onehot & (j_iota == wj[None])                    # [J, C, B]
-    win_p = jnp.sum(jnp.where(woh, cp3, 0.0), axis=0)
-    win_pw = jnp.sum(jnp.where(woh, cand_pw[:, None, :], 0.0), axis=0)
-    win_fi = jnp.sum(jnp.where(woh, cand_fi[:, None, :], 0), axis=0)
+    matched_j = jnp.concatenate(matched_rows, axis=0)      # [J, B]
+    # winner fields via a j one-hot (wj_best = j_c where unmatched, so
+    # no row fires there and the pick stays 0 — gated by trk_matched)
+    wj_c = jnp.where(trk_matched, wj_best, j_c)            # [C, B]
+    win_p = jnp.zeros((c, LANES), jnp.float32)
+    win_pw = jnp.zeros((c, LANES), jnp.float32)
+    win_fi = jnp.zeros((c, LANES), jnp.int32)
+    for lo in range(0, j_c, J_CHUNK):
+        hi = min(lo + J_CHUNK, j_c)
+        jc = hi - lo
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (jc, c, LANES), 0)
+        woh = j_iota + lo == wj_c[None]                    # [Jc, C, B]
+        win_p = win_p + jnp.sum(
+            jnp.where(woh, _slab(cand_p, lo, hi), 0.0), axis=0)
+        win_pw = win_pw + jnp.sum(
+            jnp.where(woh, _slab(cand_pw, lo, hi), 0.0), axis=0)
+        win_fi = win_fi + jnp.sum(
+            jnp.where(woh, _slab(cand_fi, lo, hi), 0), axis=0)
 
     period = jnp.where(trk_matched, win_p, period)
     power = jnp.where(trk_matched, win_pw, power)
     fft_index = jnp.where(trk_matched, win_fi, fft_index)
     seen = trk_matched
-    matched_j = matched[:, 0, :]                           # [J, B]
 
     # ---- allocate unmatched candidates into dead rows: the nth
     # unmatched candidate (j order) takes the nth dead row (row order),
@@ -152,20 +198,28 @@ def _advance(
     unm = cand_ok & ~matched_j & (cand_p > 0)              # [J, B]
     cand_rank = _cumsum_rows(unm.astype(jnp.int32)) - 1    # [J, B]
     dead_rank = _cumsum_rows(dead.astype(jnp.int32)) - 1   # [C, B]
-    pair = (
-        unm[:, None, :]
-        & dead[None]
-        & (cand_rank[:, None, :] == dead_rank[None])
-    )                                                      # [J, C, B]
-    is_new = jnp.max(pair.astype(jnp.int32), axis=0) > 0   # [C, B]
-    period = jnp.where(
-        is_new, jnp.sum(jnp.where(pair, cp3, 0.0), axis=0), period)
-    power = jnp.where(
-        is_new, jnp.sum(jnp.where(pair, cand_pw[:, None, :], 0.0), axis=0),
-        power)
-    fft_index = jnp.where(
-        is_new, jnp.sum(jnp.where(pair, cand_fi[:, None, :], 0), axis=0),
-        fft_index)
+    new_p = jnp.zeros((c, LANES), jnp.float32)
+    new_pw = jnp.zeros((c, LANES), jnp.float32)
+    new_fi = jnp.zeros((c, LANES), jnp.int32)
+    any_new = jnp.zeros((c, LANES), jnp.int32)
+    for lo in range(0, j_c, J_CHUNK):
+        hi = min(lo + J_CHUNK, j_c)
+        pair = (
+            _slab(unm, lo, hi)
+            & dead[None]
+            & (_slab(cand_rank, lo, hi) == dead_rank[None])
+        )                                                  # [Jc, C, B]
+        any_new = any_new + jnp.sum(pair.astype(jnp.int32), axis=0)
+        new_p = new_p + jnp.sum(
+            jnp.where(pair, _slab(cand_p, lo, hi), 0.0), axis=0)
+        new_pw = new_pw + jnp.sum(
+            jnp.where(pair, _slab(cand_pw, lo, hi), 0.0), axis=0)
+        new_fi = new_fi + jnp.sum(
+            jnp.where(pair, _slab(cand_fi, lo, hi), 0), axis=0)
+    is_new = any_new > 0                                   # [C, B]
+    period = jnp.where(is_new, new_p, period)
+    power = jnp.where(is_new, new_pw, power)
+    fft_index = jnp.where(is_new, new_fi, fft_index)
     uid = jnp.where(is_new, next_uid + dead_rank, uid)
     next_uid = next_uid + jnp.sum(
         is_new.astype(jnp.int32), axis=0, keepdims=True)
@@ -390,19 +444,27 @@ def track_frames_pallas(
     callers that need it use the XLA path).
     """
     lead = cand_periods.shape[:-2]
-    t_frames, j_cand = cand_periods.shape[-2:]
+    t_frames, j_real = cand_periods.shape[-2:]
     c, s = cfg.capacity, cfg.n_slots
     ff = max(1, min(int(frames_per_step), t_frames))
     t_pad = -(-t_frames // ff) * ff
+    # Pad J to a sublane multiple: the packed block slices rows at
+    # offsets j_cand and lo/hi within each matching slab, and Mosaic
+    # lowers a non-8-aligned sublane slice through an unsupported
+    # gather. Padded candidates carry valid=0 — inert in matching
+    # (ok requires cand_ok) and allocation (unm requires cand_ok).
+    j_cand = -(-j_real // 8) * 8
 
     def to_lanes(a, dt):
-        x = a.astype(dt).reshape(-1, t_frames, j_cand)
+        x = a.astype(dt).reshape(-1, t_frames, j_real)
         x = jnp.moveaxis(x, 0, -1)                       # [T, J, B]
         b = x.shape[-1]
         b_pad = -(-b // LANES) * LANES
-        if b_pad != b or t_pad != t_frames:
+        if b_pad != b or t_pad != t_frames or j_cand != j_real:
             x = jnp.pad(
-                x, ((0, t_pad - t_frames), (0, 0), (0, b_pad - b))
+                x,
+                ((0, t_pad - t_frames), (0, j_cand - j_real),
+                 (0, b_pad - b)),
             )
         return x
 
