@@ -187,6 +187,52 @@ def test_tracker_pallas_interpret_matches_xla_scan(frames_per_step):
         )
 
 
+def test_track_frames_resume_matches_full_run():
+    """Chunked runs with `init=` (the reference's persistent tracker
+    globals across OnCalculate ticks) reproduce the one-shot run
+    bitwise — XLA scan path."""
+    cfg = TrackerConfig(capacity=16, leak_min_bars=2)
+    frames = _random_candidate_stream(t=50, j=6, seed=9)
+    want, wstate = track_frames(*frames, cfg=cfg)
+    cut = 23
+    head = tuple(f[:cut] for f in frames)
+    tail = tuple(f[cut:] for f in frames)
+    o1, s1 = track_frames(*head, cfg=cfg)
+    o2, s2 = track_frames(*tail, cfg=cfg, init=s1)
+    for k in want:
+        got = np.concatenate([np.asarray(o1[k]), np.asarray(o2[k])])
+        np.testing.assert_array_equal(got, np.asarray(want[k]), err_msg=k)
+    for f in wstate._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s2, f)), np.asarray(getattr(wstate, f)),
+            err_msg=f,
+        )
+
+
+def test_tracker_pallas_resume_matches_full_run():
+    """Same resume contract through the Pallas kernel (interpret),
+    including a batched symbol axis."""
+    from wavespec_tpu.kernels.tracker_pallas import track_frames_pallas
+
+    cfg = TrackerConfig(capacity=16)
+    frames = _random_candidate_stream(t=40, j=5, seed=13, batch=(3,))
+    want, wstate = track_frames_pallas(*frames, cfg, interpret=True)
+    cut = 17
+    head = tuple(f[:, :cut] for f in frames)
+    tail = tuple(f[:, cut:] for f in frames)
+    o1, s1 = track_frames_pallas(*head, cfg, interpret=True)
+    o2, s2 = track_frames_pallas(*tail, cfg, interpret=True, init=s1)
+    for k in want:
+        got = np.concatenate(
+            [np.asarray(o1[k]), np.asarray(o2[k])], axis=1)
+        np.testing.assert_array_equal(got, np.asarray(want[k]), err_msg=k)
+    for f in wstate._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s2, f)), np.asarray(getattr(wstate, f)),
+            err_msg=f,
+        )
+
+
 def test_tracker_pallas_interpret_many_candidates():
     """J above J_CHUNK (the reference-exact all-bins candidate counts)
     exercises the multi-slab matching/alloc merge — still bitwise."""

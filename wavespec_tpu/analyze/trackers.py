@@ -376,6 +376,16 @@ def _slots_and_leaks(
     return new_state, out
 
 
+def _coerce_state(st: TrackerState) -> TrackerState:
+    """Dtype-normalize a TrackerState (resume inputs may arrive as
+    numpy arrays or loosened dtypes)."""
+    ref = init_state(TrackerConfig())
+    return TrackerState(*(
+        jnp.asarray(v, getattr(ref, f).dtype)
+        for f, v in zip(TrackerState._fields, st)
+    ))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def track_frames(
     cand_periods: jax.Array,   # [..., T, J]
@@ -383,39 +393,55 @@ def track_frames(
     cand_fft_idx: jax.Array,   # [..., T, J] int32
     cand_valid: jax.Array,     # [..., T, J] bool
     cfg: TrackerConfig = TrackerConfig(),
+    init: TrackerState | None = None,
 ):
     """Run the tracker over T frames of candidates; returns per-frame slot
     outputs (dict of [..., T, n_slots] arrays) and the final state.
 
-    Leading dims are a symbol batch. Routing (trace-time, like
-    `jacobi.jacobi_eigh`): on a real device the vectorized matcher runs
-    as ONE Pallas launch with the whole batch on the VPU lanes and the
-    frame axis streamed through the grid (`kernels.tracker_pallas`) —
-    the `lax.scan` body is ~a hundred tiny fused ops whose per-step
-    dispatch latency dominated the v757 device budget (~13.7 us/frame
-    single series, +103 ms of the 272 ms B=64 batch). CPU/tests and the
-    reference-exact sequential matcher keep the XLA scan (vmapped over
-    leading dims).
+    Leading dims are a symbol batch. `init` resumes from a prior call's
+    final state — the reference's tracker arrays persist in globals
+    across `OnCalculate` ticks (`pla-kalman.mq5:1415-1530`), so chunked
+    online runs must see the full history's state: feeding chunk N's
+    state into chunk N+1 reproduces the one-shot run bitwise (pinned by
+    tests), and a live tick only pays for its new frames.
+
+    Routing (trace-time, like `jacobi.jacobi_eigh`): on a real device
+    the vectorized matcher runs as ONE Pallas launch with the whole
+    batch on the VPU lanes and the frame axis streamed through the grid
+    (`kernels.tracker_pallas`) — the `lax.scan` body is ~a hundred tiny
+    fused ops whose per-step dispatch latency dominated the v757 device
+    budget (~13.7 us/frame single series, +103 ms of the 272 ms B=64
+    batch). CPU/tests and the reference-exact sequential matcher keep
+    the XLA scan (vmapped over leading dims).
     """
+    if init is not None:
+        init = _coerce_state(init)
     if not cfg.sequential_match and jax.default_backend() != "cpu":
         from wavespec_tpu.kernels.tracker_pallas import track_frames_pallas
 
         return track_frames_pallas(
-            cand_periods, cand_powers, cand_fft_idx, cand_valid, cfg
+            cand_periods, cand_powers, cand_fft_idx, cand_valid, cfg,
+            init=init,
         )
 
     if cand_periods.ndim > 2:
-        fn = lambda p, w, f, v: track_frames(p, w, f, v, cfg=cfg)
+        fn = lambda p, w, f, v, st: track_frames(p, w, f, v, cfg=cfg, init=st)
         for _ in range(cand_periods.ndim - 2):
             fn = jax.vmap(fn)
-        return fn(cand_periods, cand_powers, cand_fft_idx, cand_valid)
+        if init is None:
+            st0 = init_state(cfg)
+            shape = cand_periods.shape[:-2]
+            init = TrackerState(*(
+                jnp.broadcast_to(v, (*shape, *v.shape)) for v in st0
+            ))
+        return fn(cand_periods, cand_powers, cand_fft_idx, cand_valid, init)
 
     def step(state, frame):
         return tracker_step(state, frame, cfg)
 
     state, outs = jax.lax.scan(
         step,
-        init_state(cfg),
+        init_state(cfg) if init is None else init,
         (
             cand_periods.astype(jnp.float32),
             cand_powers.astype(jnp.float32),

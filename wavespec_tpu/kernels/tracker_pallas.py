@@ -331,36 +331,56 @@ def _advance(
 
 def _kernel(
     # packed inputs [1, F*2J, B]: (periods; powers) f32,
-    # (fft_idx; valid) i32 — F frames per grid step, frame-major rows
-    cf_ref, ci_ref,
-    # packed per-frame outputs [1, F*4S, B] f32 / [1, F*7S, B] i32
-    of_ref, oi_ref,
-    # packed final-state outputs (same block every step; Mosaic keeps a
-    # constant-index output block resident and copies it out once)
-    ff_ref, fi_ref,
-    # VMEM scratch: persistent tracker state across the frame grid axis
-    st_p, st_pw, st_fi, st_alive, st_bi, st_uid, st_next, st_slot, st_lact,
-    st_luid, st_lbars,
-    *, j_cand: int, capacity: int, n_slots: int, tol: float,
+    # (fft_idx; valid) i32 — F frames per grid step, frame-major rows.
+    # With has_init, 11 initial-state blocks follow (constant index map;
+    # separate blocks because the packed fi layout slices at non-8-
+    # aligned sublane offsets, which Mosaic lowers through a rejected
+    # gather), then outputs, then scratch.
+    cf_ref, ci_ref, *rest,
+    j_cand: int, capacity: int, n_slots: int, tol: float,
     max_inactive: int, leak_pr: float, leak_wr: float, leak_min: int,
-    leak_max: int, f_frames: int, t_total: int,
+    leak_max: int, f_frames: int, t_total: int, has_init: bool,
 ):
     c = capacity
     s = n_slots
+    if has_init:
+        init_refs = rest[:11]
+        rest = rest[11:]
+    (of_ref, oi_ref, ff_ref, fi_ref,
+     st_p, st_pw, st_fi, st_alive, st_bi, st_uid, st_next, st_slot,
+     st_lact, st_luid, st_lbars) = rest
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
-        st_p[:] = jnp.zeros((c, LANES), jnp.float32)
-        st_pw[:] = jnp.zeros((c, LANES), jnp.float32)
-        st_fi[:] = jnp.zeros((c, LANES), jnp.int32)
-        st_alive[:] = jnp.zeros((c, LANES), jnp.int32)
-        st_bi[:] = jnp.zeros((c, LANES), jnp.int32)
-        st_uid[:] = jnp.zeros((c, LANES), jnp.int32)
-        st_next[:] = jnp.ones((1, LANES), jnp.int32)
-        st_slot[:] = jnp.zeros((s, LANES), jnp.int32)
-        st_lact[:] = jnp.zeros((s, LANES), jnp.int32)
-        st_luid[:] = jnp.zeros((s, LANES), jnp.int32)
-        st_lbars[:] = jnp.zeros((s, LANES), jnp.int32)
+        if has_init:
+            # resume: the caller feeds a prior run's final TrackerState
+            # back in; chunked == full-history bitwise (pinned by
+            # tests/test_trackers.py resume tests)
+            (ip, ipw, ifi, ial, ibi, iuid, inx, islt, ilct, ilud,
+             ilbr) = init_refs
+            st_p[:] = ip[:]
+            st_pw[:] = ipw[:]
+            st_fi[:] = ifi[:]
+            st_alive[:] = ial[:]
+            st_bi[:] = ibi[:]
+            st_uid[:] = iuid[:]
+            st_next[:] = inx[:]
+            st_slot[:] = islt[:]
+            st_lact[:] = ilct[:]
+            st_luid[:] = ilud[:]
+            st_lbars[:] = ilbr[:]
+        else:
+            st_p[:] = jnp.zeros((c, LANES), jnp.float32)
+            st_pw[:] = jnp.zeros((c, LANES), jnp.float32)
+            st_fi[:] = jnp.zeros((c, LANES), jnp.int32)
+            st_alive[:] = jnp.zeros((c, LANES), jnp.int32)
+            st_bi[:] = jnp.zeros((c, LANES), jnp.int32)
+            st_uid[:] = jnp.zeros((c, LANES), jnp.int32)
+            st_next[:] = jnp.ones((1, LANES), jnp.int32)
+            st_slot[:] = jnp.zeros((s, LANES), jnp.int32)
+            st_lact[:] = jnp.zeros((s, LANES), jnp.int32)
+            st_luid[:] = jnp.zeros((s, LANES), jnp.int32)
+            st_lbars[:] = jnp.zeros((s, LANES), jnp.int32)
 
     state = (
         st_p[:], st_pw[:], st_fi[:], st_alive[:], st_bi[:], st_uid[:],
@@ -434,14 +454,18 @@ def track_frames_pallas(
     cfg,
     interpret: bool = False,
     frames_per_step: int = FRAMES_PER_STEP,
+    init=None,
 ):
     """Batched tracker scan in one Pallas launch.
 
     Leading dims are the symbol batch (flattened onto the VPU lanes —
     NOT vmapped pallas). Returns (slot outputs dict of [..., T, S]
-    arrays, final-state dict) matching `trackers.track_frames`'s output
-    dict field-for-field (the TrackerState carry itself stays internal;
-    callers that need it use the XLA path).
+    arrays, final TrackerState). `init` resumes from a prior run's
+    final state (the reference keeps its tracker arrays in persistent
+    globals across `OnCalculate` ticks, `pla-kalman.mq5:1415-1530`):
+    feeding chunk N's returned state into chunk N+1 reproduces the
+    full-history run bitwise, so online serving only pays for NEW
+    frames per tick.
     """
     lead = cand_periods.shape[:-2]
     t_frames, j_real = cand_periods.shape[-2:]
@@ -499,18 +523,46 @@ def track_frames_pallas(
     fi_spec = pl.BlockSpec((n_fi, LANES), lambda i, t: (0, i),
                            memory_space=pltpu.VMEM)
 
+    init_arrays = []
+    init_specs = []
+    if init is not None:
+        def state_rows(a, rows, dt):
+            x = jnp.swapaxes(a.astype(dt).reshape(-1, rows), 0, 1)
+            if b_pad != x.shape[-1]:
+                x = jnp.pad(x, ((0, 0), (0, b_pad - x.shape[-1])))
+            return x
+
+        init_arrays = [
+            state_rows(init.period, c, jnp.float32),
+            state_rows(init.power, c, jnp.float32),
+            state_rows(init.fft_index, c, jnp.int32),
+            state_rows(init.alive, c, jnp.int32),
+            state_rows(init.bars_inactive, c, jnp.int32),
+            state_rows(init.uid, c, jnp.int32),
+            state_rows(init.next_uid[..., None], 1, jnp.int32),
+            state_rows(init.slot_uid, s, jnp.int32),
+            state_rows(init.leak_active, s, jnp.int32),
+            state_rows(init.leak_uid, s, jnp.int32),
+            state_rows(init.leak_bars, s, jnp.int32),
+        ]
+        init_specs = [
+            pl.BlockSpec((a.shape[0], LANES), lambda i, t: (0, i),
+                         memory_space=pltpu.VMEM)
+            for a in init_arrays
+        ]
+
     kernel = partial(
         _kernel, j_cand=j_cand, capacity=c, n_slots=s,
         tol=float(cfg.tolerance_pct), max_inactive=int(cfg.max_inactive),
         leak_pr=float(cfg.leak_period_ratio),
         leak_wr=float(cfg.leak_power_ratio),
         leak_min=int(cfg.leak_min_bars), leak_max=int(cfg.leak_max_bars),
-        f_frames=ff, t_total=t_frames,
+        f_frames=ff, t_total=t_frames, has_init=init is not None,
     )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in_spec, in_spec],
+        in_specs=[in_spec, in_spec] + init_specs,
         out_specs=[of_spec, oi_spec, ff_spec, fi_spec],
         out_shape=[
             out_struct((t_pad // ff, ff * 4 * s, b_pad), jnp.float32, cf32),
@@ -532,7 +584,7 @@ def track_frames_pallas(
             pltpu.VMEM((s, LANES), jnp.int32),     # leak_bars
         ],
         interpret=interpret,
-    )(cf32, ci32)
+    )(cf32, ci32, *init_arrays)
 
     of, oi, ffin, fi = outs
     of = of.reshape(t_pad, 4 * s, b_pad)[:t_frames]
