@@ -165,3 +165,40 @@ def test_machine_realfft_mode():
     # group-delay mode: eta ~ |tau_g| * spb at phase starts, monotone within
     assert (eta[1:] <= 8.0 * 60.0 + 1e-3).all()
     assert (eta >= 0).all()
+
+
+def test_eta_machine_resume_bitwise():
+    """Chunked runs with EtaMachineState handoff == one-shot, including
+    the lag ring's absolute positions and the phase-duration histories."""
+    r = np.random.default_rng(11)
+    t, s = 320, 6
+    vals = np.cumsum(r.normal(size=(s, t)), axis=1).astype(np.float32)
+    periods = (24 + 8 * np.sin(np.arange(t) / 40))[None, :].repeat(s, 0)
+    periods = periods.astype(np.float32)
+    gd = r.normal(size=(s, t)).astype(np.float32)
+    valid = r.random((s, t)) > 0.2
+    for mode in (EtaMode.PHASE_NEXT_EXTREMUM, EtaMode.REALFFT, EtaMode.HYBRID):
+        for prior in (0, 9):
+            cfg = EtaConfig(mode=mode, prior_bars=prior)
+            full = eta_state_machine(
+                jnp.asarray(vals), jnp.asarray(periods), jnp.asarray(gd),
+                cfg, valid=jnp.asarray(valid),
+            )
+            cut = 137
+            o1, st = eta_state_machine(
+                jnp.asarray(vals[:, :cut]), jnp.asarray(periods[:, :cut]),
+                jnp.asarray(gd[:, :cut]), cfg,
+                valid=jnp.asarray(valid[:, :cut]), return_state=True,
+            )
+            o2 = eta_state_machine(
+                jnp.asarray(vals[:, cut:]), jnp.asarray(periods[:, cut:]),
+                jnp.asarray(gd[:, cut:]), cfg,
+                valid=jnp.asarray(valid[:, cut:]), init=st,
+            )
+            for k in full:
+                np.testing.assert_array_equal(
+                    np.concatenate([np.asarray(o1[k]), np.asarray(o2[k])],
+                                   axis=1),
+                    np.asarray(full[k]),
+                    err_msg=f"{k} mode={mode} prior={prior}",
+                )

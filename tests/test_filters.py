@@ -232,3 +232,67 @@ def test_kalman_wave_detrend_level_is_level_robust():
     blended_raw = np.asarray(kalman_wave(jnp.asarray(series), cfg_raw, hop=1)[0])
     err_raw = np.abs(blended_raw[300:] - measured[300 : len(blended_raw)])
     assert err_raw.mean() > err.mean()
+
+
+# ------------------------------------------------------------- resume
+
+
+def test_kalman4d_resume_bitwise():
+    """Chunked runs with state handoff == one-shot (the reference keeps
+    the Kalman state in globals across OnCalculate ticks)."""
+    z = np.cumsum(rng(3).normal(size=400)).astype(np.float32) + 50
+    cfg = Kalman4DConfig(ema_blend_period=5.0)
+    full, xf = kalman4d_filter(jnp.asarray(z), cfg)
+    o1, st = kalman4d_filter(jnp.asarray(z[:170]), cfg, return_state=True)
+    o2, st2 = kalman4d_filter(jnp.asarray(z[170:]), cfg, init=st,
+                              return_state=True)
+    chunked = np.concatenate([np.asarray(o1), np.asarray(o2)])
+    np.testing.assert_array_equal(chunked, np.asarray(full))
+    np.testing.assert_array_equal(np.asarray(st2.x), np.asarray(xf))
+
+
+def test_kalman4d_resume_batched():
+    z = rng(4).normal(size=(3, 200)).astype(np.float32)
+    full, _ = kalman4d_filter(jnp.asarray(z))
+    o1, st = kalman4d_filter(jnp.asarray(z[:, :90]), return_state=True)
+    o2, _ = kalman4d_filter(jnp.asarray(z[:, 90:]), init=st,
+                            return_state=True)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1),
+        np.asarray(full),
+    )
+
+
+def test_biquad_resume_continues_recursion():
+    """y_prev + price_prev continue the filter across chunks: the
+    associative-scan tree differs between lengths, so agreement is at
+    f32 reassociation noise (the Pallas tail kernel's sequential
+    recursion is bitwise; tests/test_v757_tail_pallas.py)."""
+    r = rng(5)
+    t, s = 300, 4
+    price = np.cumsum(r.normal(size=t)).astype(np.float32) + 100
+    p2 = np.broadcast_to(price[None, :], (s, t))
+    periods = np.stack([np.full(t, 16.0 + 7 * k) for k in range(s)]).astype(
+        np.float32
+    )
+    valid = r.random((s, t)) > 0.15
+    full = np.asarray(
+        bandpass_cycle(jnp.asarray(p2), jnp.asarray(periods),
+                       valid=jnp.asarray(valid), zero_first=0)
+    )
+    cut = 157
+    y1, st = bandpass_cycle(
+        jnp.asarray(p2[:, :cut]), jnp.asarray(periods[:, :cut]),
+        valid=jnp.asarray(valid[:, :cut]), zero_first=0, return_state=True,
+    )
+    y2 = bandpass_cycle(
+        jnp.asarray(p2[:, cut:]), jnp.asarray(periods[:, cut:]),
+        valid=jnp.asarray(valid[:, cut:]), zero_first=0, y_prev=st,
+        price_prev=jnp.asarray(p2[:, cut - 2 : cut]),
+    )
+    chunked = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=1)
+    scale = np.abs(full).max()
+    assert np.abs(chunked - full).max() <= 1e-5 * scale
+    # state layout: (y[-2], y[-1]) of the first chunk
+    np.testing.assert_array_equal(np.asarray(st)[:, 1], np.asarray(y1)[:, -1])
+    np.testing.assert_array_equal(np.asarray(st)[:, 0], np.asarray(y1)[:, -2])

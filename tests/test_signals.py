@@ -126,3 +126,42 @@ def test_confluence():
 def test_disabled():
     out = run(col([-1, 1]), enable=False)
     assert (out["sig"] == 0).all()
+
+
+def test_followfirst_resume_bitwise():
+    """Chunked runs with FollowFirstState handoff == one-shot: absolute
+    bar indices keep suppression and position bookkeeping consistent."""
+    r = np.random.default_rng(7)
+    t, s = 260, 12
+    vals = np.cumsum(r.normal(size=(t, s)), axis=0)
+    states = np.where(
+        r.random((t, s)) > 0.1, np.where(vals >= 0, 1.0, -1.0), 0.0
+    ).astype(np.float32)
+    eta_raw = (r.random((t, s)) * 10 - 5).astype(np.float32)
+    periods = np.full((t, s), 30.0, np.float32)
+    active = states != 0
+    for ams in (True, False):
+        cfg = FollowFirstConfig(
+            entry_bars_before_end=2, allow_multiple_signals=ams
+        )
+        full = followfirst_signals(
+            jnp.asarray(states), jnp.asarray(eta_raw), jnp.asarray(periods),
+            jnp.asarray(active), cfg,
+        )
+        cut = 101
+        o1, st = followfirst_signals(
+            jnp.asarray(states[:cut]), jnp.asarray(eta_raw[:cut]),
+            jnp.asarray(periods[:cut]), jnp.asarray(active[:cut]), cfg,
+            return_state=True,
+        )
+        o2 = followfirst_signals(
+            jnp.asarray(states[cut:]), jnp.asarray(eta_raw[cut:]),
+            jnp.asarray(periods[cut:]), jnp.asarray(active[cut:]), cfg,
+            init=st,
+        )
+        for k in full:
+            np.testing.assert_array_equal(
+                np.concatenate([np.asarray(o1[k]), np.asarray(o2[k])]),
+                np.asarray(full[k]),
+                err_msg=f"{k} multi={ams}",
+            )

@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -135,13 +136,47 @@ def _estimate_phase_duration(estimate_cached, hist_same, hist_opp, period, bars_
     return jnp.maximum(est, 1.0)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+class EtaMachineState(NamedTuple):
+    """Carry of `eta_state_machine` for chunked/online resume: the
+    reference keeps all of these in persistent per-slot globals across
+    `OnCalculate` ticks (`...pla-kalman.mq5:2922-3154` state arrays).
+    Leading dims mirror the machine's (batch x slot) vmap dims."""
+
+    color_prev: jax.Array      # [...] f32 (1 bull / 0 bear)
+    bars_in_phase: jax.Array   # [...] i32
+    last_eta: jax.Array        # [...] f32 seconds
+    bull_hist: jax.Array       # [..., 5] i32 phase durations
+    bear_hist: jax.Array       # [..., 5] i32
+    est_cache: jax.Array       # [..., 2] f32 (bull, bear)
+    ring: jax.Array            # [..., lag_buffer] f32 lag ring
+    tpos: jax.Array            # [...] i32 absolute frame counter
+    v_prev: jax.Array          # [...] f32 previous frame's cycle value
+
+
+def eta_machine_init(cfg: EtaConfig) -> EtaMachineState:
+    """Fresh-start state (what a `init=None` run begins from)."""
+    return EtaMachineState(
+        color_prev=jnp.asarray(0.0, jnp.float32),
+        bars_in_phase=jnp.asarray(cfg.prior_bars, jnp.int32),
+        last_eta=jnp.asarray(0.0, jnp.float32),
+        bull_hist=jnp.zeros(5, jnp.int32),
+        bear_hist=jnp.zeros(5, jnp.int32),
+        est_cache=jnp.zeros(2, jnp.float32),
+        ring=jnp.zeros(cfg.lag_buffer, jnp.float32),
+        tpos=jnp.asarray(0, jnp.int32),
+        v_prev=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "return_state"))
 def eta_state_machine(
     cycle_values: jax.Array,   # [..., t] per-slot cycle waveform (biquad)
     periods: jax.Array,        # [..., t] slot period per bar (bars)
     group_delay: jax.Array,    # [..., t] group delay at the slot's bin (bars)
     cfg: EtaConfig = EtaConfig(),
     valid: jax.Array | None = None,  # [..., t] slot active per bar
+    init: EtaMachineState | None = None,
+    return_state: bool = False,
 ):
     """Run `UpdateCycleEtaAndState` over bars.
 
@@ -151,13 +186,20 @@ def eta_state_machine(
     (`...pla-kalman.mq5:3578-3588` `g_last_eta_seconds[c] = 0`), and no
     phase history is stored. `None` = all bars active.
 
+    `init` resumes from a prior call's `EtaMachineState` (returned when
+    `return_state=True` as a second element): feeding chunk N's state
+    into chunk N+1 reproduces the one-shot scan bitwise — frame 0 of a
+    resumed chunk is NOT "first" (its v_prev/color_prev come from the
+    state) and the lag ring keeps its absolute positions via `tpos`.
+
     Returns dict of [..., t]: color (1 bull / 0 bear), eta_display (signed
     bars, bullish floored at +1), eta_raw (signed bars), eta_seconds.
     """
     spb = cfg.seconds_per_bar
     lag_cap = cfg.lag_buffer
+    resumed = init is not None
 
-    def single(vals, pers, gds, vld):
+    def single(vals, pers, gds, vld, st):
         t_len = vals.shape[0]
 
         def step(carry, xs):
@@ -290,37 +332,51 @@ def eta_state_machine(
                      est_cache, ring, tpos + 1)
             return carry, (color, eta_display, eta_raw, eta_sec)
 
-        v_prev = jnp.concatenate([vals[:1], vals[:-1]])
-        is_first = jnp.arange(t_len) == 0
-        init = (
-            jnp.asarray(0.0, jnp.float32),
-            jnp.asarray(cfg.prior_bars, jnp.int32),
-            jnp.asarray(0.0, jnp.float32),
-            jnp.zeros(5, jnp.int32),
-            jnp.zeros(5, jnp.int32),
-            jnp.zeros(2, jnp.float32),
-            jnp.zeros(lag_cap, jnp.float32),
-            jnp.asarray(0, jnp.int32),
+        if resumed:
+            v_prev = jnp.concatenate([st.v_prev[None], vals[:-1]])
+            is_first = jnp.zeros(t_len, bool)
+        else:
+            v_prev = jnp.concatenate([vals[:1], vals[:-1]])
+            is_first = jnp.arange(t_len) == 0
+        carry0 = (st.color_prev, st.bars_in_phase, st.last_eta,
+                  st.bull_hist, st.bear_hist, st.est_cache, st.ring,
+                  st.tpos)
+        carry, (color, eta_display, eta_raw, eta_sec) = jax.lax.scan(
+            step, carry0, (vals, v_prev, pers, gds, is_first, vld)
         )
-        _, (color, eta_display, eta_raw, eta_sec) = jax.lax.scan(
-            step, init, (vals, v_prev, pers, gds, is_first, vld)
-        )
-        return color, eta_display, eta_raw, eta_sec
+        final = EtaMachineState(*carry, v_prev=vals[-1])
+        return color, eta_display, eta_raw, eta_sec, final
 
     if valid is None:
         valid = jnp.ones(cycle_values.shape, bool)
     fn = single
     for _ in range(cycle_values.ndim - 1):
         fn = jax.vmap(fn)
-    color, eta_display, eta_raw, eta_sec = fn(
+    if init is None:
+        st0 = eta_machine_init(cfg)
+        lead = cycle_values.shape[:-1]
+        init = EtaMachineState(*(
+            jnp.broadcast_to(v, (*lead, *v.shape)) for v in st0
+        ))
+    else:
+        ref = eta_machine_init(cfg)
+        init = EtaMachineState(*(
+            jnp.asarray(v, getattr(ref, f).dtype)
+            for f, v in zip(EtaMachineState._fields, init)
+        ))
+    color, eta_display, eta_raw, eta_sec, final = fn(
         cycle_values.astype(jnp.float32),
         periods.astype(jnp.float32),
         group_delay.astype(jnp.float32),
         jnp.broadcast_to(jnp.asarray(valid, bool), cycle_values.shape),
+        init,
     )
-    return {
+    out = {
         "color": color,
         "eta_display": eta_display,
         "eta_raw": eta_raw,
         "eta_seconds": eta_sec,
     }
+    if return_state:
+        return out, final
+    return out

@@ -41,7 +41,7 @@ def biquad_coeffs(period: jax.Array, bandwidth: float = 0.5):
     )
 
 
-@partial(jax.jit, static_argnames=("bandwidth", "zero_first"))
+@partial(jax.jit, static_argnames=("bandwidth", "zero_first", "return_state"))
 def bandpass_cycle(
     price: jax.Array,
     period: jax.Array,
@@ -50,6 +50,8 @@ def bandpass_cycle(
     valid: jax.Array | None = None,
     price_prev: jax.Array | None = None,
     zero_first: int = 2,
+    y_prev: jax.Array | None = None,
+    return_state: bool = False,
 ) -> jax.Array:
     """Band-pass `price` ``[..., t]`` at `period`.
 
@@ -72,7 +74,14 @@ def bandpass_cycle(
       array, so the first analyzed bars see real earlier prices
       (`zero_first=0` + `price_prev` gives the exact v7.57 alignment;
       the default `zero_first=2` keeps the standalone-filter convention
-      of y[0] = y[1] = 0).
+      of y[0] = y[1] = 0);
+    - `y_prev` ``[..., 2]`` = (y[-2], y[-1]), the filter OUTPUT history
+      before frame 0 — resumes a chunked run: feeding chunk N's final
+      state (returned with `return_state=True` as the same (y[-2], y[-1])
+      layout) into chunk N+1 reproduces the one-shot recursion bitwise
+      (the reference's filter state lives in persistent per-slot buffers
+      across `OnCalculate` ticks). With `return_state=True` the return
+      value is ``(waveform, y_state [..., 2])``.
     """
     price = price.astype(jnp.float32)
     t = price.shape[-1]
@@ -119,5 +128,17 @@ def bandpass_cycle(
             jnp.einsum("...ij,...j->...i", m_r, v_l) + v_r,
         )
 
-    _, s = jax.lax.associative_scan(combine, (m, v), axis=-3)
-    return s[..., 0]
+    mm, s = jax.lax.associative_scan(combine, (m, v), axis=-3)
+    if y_prev is not None:
+        # s_{-1} = [y[-1], y[-2]]; the affine recursion gives
+        # s_i = (A_i...A_0) s_{-1} + (zero-state response), and the scan's
+        # first element IS the cumulative matrix product M_i...M_0.
+        s_init = jnp.broadcast_to(
+            jnp.asarray(y_prev, jnp.float32)[..., ::-1],
+            (*price.shape[:-1], 2),
+        )
+        s = s + jnp.einsum("...tij,...j->...ti", mm, s_init)
+    if not return_state:
+        return s[..., 0]
+    # final (y[-2], y[-1]) for the next chunk = reversed s at the last step
+    return s[..., 0], s[..., -1, ::-1]

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -61,12 +62,31 @@ def _transition() -> np.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def kalman4d_filter(measurements: jax.Array, cfg: Kalman4DConfig = Kalman4DConfig()):
+class Kalman4DState(NamedTuple):
+    """Full filter state for chunked/online resume (`init=`): feeding
+    chunk N's state into chunk N+1 reproduces the one-shot scan bitwise
+    (the reference keeps these in globals across `OnCalculate` ticks)."""
+
+    x: jax.Array          # [..., 4] state vector
+    p: jax.Array          # [..., 4, 4] covariance
+    ema: jax.Array        # [...] EMA blend memory
+    ema_ready: jax.Array  # [...] bool
+
+
+@partial(jax.jit, static_argnames=("cfg", "return_state"))
+def kalman4d_filter(
+    measurements: jax.Array,
+    cfg: Kalman4DConfig = Kalman4DConfig(),
+    init: Kalman4DState | None = None,
+    return_state: bool = False,
+):
     """Run the filter over a series (last axis = time; batch dims vmapped).
 
     Returns (filtered ``[..., t]``, final_state ``[..., 4]``). The state is
-    seeded from the first measurement exactly like `ResetKalmanState`.
+    seeded from the first measurement exactly like `ResetKalmanState`,
+    or resumed from `init` (a prior call's `Kalman4DState`). With
+    `return_state=True` the second element is the full `Kalman4DState`
+    instead of the bare ``x`` vector.
     """
     f = jnp.asarray(_transition())
     q_scale = max(0.05, cfg.follow_strength)
@@ -81,22 +101,28 @@ def kalman4d_filter(measurements: jax.Array, cfg: Kalman4DConfig = Kalman4DConfi
     )
     r = max(1e-9, cfg.r)
 
-    def single(series):
-        z0 = series[0]
-        x0 = jnp.array([0.0, cfg.init_vel, cfg.init_acc, cfg.init_jerk], jnp.float32)
-        x0 = x0.at[0].set(z0)
-        p0 = jnp.diag(
-            jnp.asarray(
-                [
-                    max(1e-9, cfg.init_var_pos),
-                    max(1e-9, cfg.init_var_vel),
-                    max(1e-9, cfg.init_var_acc),
-                    max(1e-9, cfg.init_var_jerk),
-                ],
-                jnp.float32,
+    def single(series, st):
+        if st is None:
+            z0 = series[0]
+            x0 = jnp.array(
+                [0.0, cfg.init_vel, cfg.init_acc, cfg.init_jerk], jnp.float32
             )
-        )
-        ema0 = z0
+            x0 = x0.at[0].set(z0)
+            p0 = jnp.diag(
+                jnp.asarray(
+                    [
+                        max(1e-9, cfg.init_var_pos),
+                        max(1e-9, cfg.init_var_vel),
+                        max(1e-9, cfg.init_var_acc),
+                        max(1e-9, cfg.init_var_jerk),
+                    ],
+                    jnp.float32,
+                )
+            )
+            ema0 = z0
+            ready0 = jnp.asarray(False)
+        else:
+            x0, p0, ema0, ready0 = st
 
         hp = jax.lax.Precision.HIGHEST
 
@@ -140,12 +166,21 @@ def kalman4d_filter(measurements: jax.Array, cfg: Kalman4DConfig = Kalman4DConfi
                 out = ema
             return (x, p, ema, jnp.asarray(True)), out
 
-        (x_f, _, _, _), outs = jax.lax.scan(
-            step, (x0, p0, ema0, jnp.asarray(False)), series
+        (x_f, p_f, ema_f, ready_f), outs = jax.lax.scan(
+            step, (x0, p0, ema0, ready0), series
         )
+        if return_state:
+            return outs, Kalman4DState(x_f, p_f, ema_f, ready_f)
         return outs, x_f
 
     fn = single
     for _ in range(measurements.ndim - 1):
         fn = jax.vmap(fn)
-    return fn(measurements.astype(jnp.float32))
+    if init is not None:
+        init = Kalman4DState(
+            jnp.asarray(init.x, jnp.float32),
+            jnp.asarray(init.p, jnp.float32),
+            jnp.asarray(init.ema, jnp.float32),
+            jnp.asarray(init.ema_ready, bool),
+        )
+    return fn(measurements.astype(jnp.float32), init)

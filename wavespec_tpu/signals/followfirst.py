@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,25 +43,74 @@ class FollowFirstConfig:
     n_slots: int = 12
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+class FollowFirstState(NamedTuple):
+    """Carry of `followfirst_signals` for chunked/online resume — the
+    reference's signal engine keeps these in globals across ticks
+    (`...pla-kalman.mq5:2130-2288` `g_last_signal_*`, position/mode)."""
+
+    last_dir: jax.Array    # [s] i32 last signal direction per slot
+    last_bar: jax.Array    # [s] i32 ABSOLUTE frame of that signal (-1 none)
+    position: jax.Array    # scalar i32 claiming slot (-1 none)
+    mode: jax.Array        # scalar i32 0 waiting peak / 1 valley
+    st_prev: jax.Array     # [s] f32 previous frame's states
+    eta_prev: jax.Array    # [s] f32 previous frame's raw ETA
+    next_bar: jax.Array    # scalar i32 absolute index of the next frame
+
+
+def followfirst_init(cfg: FollowFirstConfig) -> FollowFirstState:
+    s = cfg.n_slots
+    return FollowFirstState(
+        last_dir=jnp.zeros(s, jnp.int32),
+        last_bar=jnp.full(s, -1, jnp.int32),
+        position=jnp.asarray(-1, jnp.int32),
+        mode=jnp.asarray(0, jnp.int32),
+        st_prev=jnp.zeros(s, jnp.float32),
+        eta_prev=jnp.zeros(s, jnp.float32),
+        next_bar=jnp.asarray(0, jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "return_state"))
 def followfirst_signals(
     states: jax.Array,    # [t, s] cycle state: +1 bull / -1 bear / 0 inactive
     eta_raw: jax.Array,   # [t, s] signed raw ETA (bars)
     periods: jax.Array,   # [t, s] period (bars)
     active: jax.Array,    # [t, s] bool slot active
     cfg: FollowFirstConfig = FollowFirstConfig(),
+    init: FollowFirstState | None = None,
+    return_state: bool = False,
 ):
     """Returns dict: sig [t, s] (+/-100 turn, +/-60 pre-signal, 0),
     confluence [t] (+/-lot_mult or 0), position_cycle [t] (claiming slot,
-    -1 none)."""
+    -1 none). `init` resumes from a prior call's `FollowFirstState`
+    (second return element with `return_state=True`): chunked == one-shot
+    bitwise — bar indices are absolute (continued via `next_bar`), so the
+    `bar >= 1` eligibility and same-direction suppression see the full
+    history."""
     t_len, s = states.shape
+    if init is None:
+        init = followfirst_init(cfg)
+    else:
+        ref = followfirst_init(cfg)
+        init = FollowFirstState(*(
+            jnp.asarray(v, getattr(ref, f).dtype)
+            for f, v in zip(FollowFirstState._fields, init)
+        ))
     if not cfg.enable:
         z = jnp.zeros((t_len, s), jnp.float32)
-        return {
+        out = {
             "sig": z,
             "confluence": jnp.zeros(t_len, jnp.float32),
             "position_cycle": jnp.full(t_len, -1, jnp.int32),
         }
+        if return_state:
+            final = init._replace(
+                st_prev=states[-1].astype(jnp.float32),
+                eta_prev=eta_raw[-1].astype(jnp.float32),
+                next_bar=init.next_bar + t_len,
+            )
+            return out, final
+        return out
 
     slot_ids = jnp.arange(s)
 
@@ -158,22 +208,26 @@ def followfirst_signals(
 
         return (last_dir, last_bar, position, mode), (sig, conf, position)
 
-    st_prev = jnp.concatenate([jnp.zeros((1, s)), states[:-1]], axis=0)
-    eta_prev = jnp.concatenate([jnp.zeros((1, s)), eta_raw[:-1]], axis=0)
-    init = (
-        jnp.zeros(s, jnp.int32),           # last_dir
-        jnp.full(s, -1, jnp.int32),        # last_bar
-        jnp.asarray(-1, jnp.int32),        # position slot
-        jnp.asarray(0, jnp.int32),         # mode (0 waiting peak / 1 valley)
-    )
-    bars = jnp.arange(t_len, dtype=jnp.int32)
-    (_, _, _, _), (sig, conf, pos) = jax.lax.scan(
+    st_prev = jnp.concatenate([init.st_prev[None], states[:-1]], axis=0)
+    eta_prev = jnp.concatenate([init.eta_prev[None], eta_raw[:-1]], axis=0)
+    carry0 = (init.last_dir, init.last_bar, init.position, init.mode)
+    bars = jnp.arange(t_len, dtype=jnp.int32) + init.next_bar
+    (last_dir, last_bar, position, mode), (sig, conf, pos) = jax.lax.scan(
         step,
-        init,
+        carry0,
         (
             states.astype(jnp.float32), st_prev.astype(jnp.float32),
             eta_raw.astype(jnp.float32), eta_prev.astype(jnp.float32),
             periods.astype(jnp.float32), active.astype(bool), bars,
         ),
     )
-    return {"sig": sig, "confluence": conf, "position_cycle": pos}
+    out = {"sig": sig, "confluence": conf, "position_cycle": pos}
+    if return_state:
+        final = FollowFirstState(
+            last_dir=last_dir, last_bar=last_bar, position=position,
+            mode=mode, st_prev=states[-1].astype(jnp.float32),
+            eta_prev=eta_raw[-1].astype(jnp.float32),
+            next_bar=init.next_bar + t_len,
+        )
+        return out, final
+    return out
