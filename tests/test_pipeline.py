@@ -66,6 +66,21 @@ def test_parse_preset_roundtrip():
     assert spec.wave_slots == 2
 
 
+def test_parse_preset_esprit_runs():
+    """`method=esprit` is expressible in the DSL (VERDICT r3 item 7) and
+    runs end-to-end: `Method.ESPRIT` matches the MUSIC/ESPRIT method slot
+    (`WaveSpecZZ_1.1.0-gpuopt.mq5:50`)."""
+    spec = parse_preset(
+        "extract: window=1024, top_k=2, method=esprit, min_period=10,"
+        " max_period=200, ar_order=10; waves: 2"
+    )
+    assert spec.extract.method == Method.ESPRIT
+    out = run_pipeline(jnp.asarray(planted()), spec)
+    assert out["attrs"].shape == (2, 15)
+    periods = np.asarray(out["attrs"][:, 2])
+    assert any(abs(p - 64.0) / 64.0 < 0.05 for p in periods if p > 0)
+
+
 def test_parse_preset_rejects_bad_stage():
     with pytest.raises(ValueError):
         parse_preset("time: denoise(threshold=0.1)")  # freq stage in time slot

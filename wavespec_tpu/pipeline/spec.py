@@ -242,7 +242,8 @@ def _parse_stage_list(text: str) -> tuple[Stage, ...]:
 
 
 _METHODS = {"fft": Method.FFT_RIDGE, "ridge": Method.FFT_RIDGE,
-            "music": Method.MUSIC, "auto": Method.AUTO}
+            "music": Method.MUSIC, "esprit": Method.ESPRIT,
+            "auto": Method.AUTO}
 _MIXES = {"energy": 0, "coherent": 1, "max": 2}
 _TAPERS = {"none": WindowType.NONE, "hann": WindowType.HANN,
            "hamming": WindowType.HAMMING, "blackman": WindowType.BLACKMAN,
