@@ -364,6 +364,11 @@ def eta_state_machine(
             jnp.asarray(v, getattr(ref, f).dtype)
             for f, v in zip(EtaMachineState._fields, init)
         ))
+    from wavespec_tpu.utils.vma import pvary_like
+
+    # shard_map(check_vma=True): promote the replicated init carry to the
+    # data's varying axes (utils.vma; no-op outside shard_map).
+    init = pvary_like(init, cycle_values)
     color, eta_display, eta_raw, eta_sec, final = fn(
         cycle_values.astype(jnp.float32),
         periods.astype(jnp.float32),

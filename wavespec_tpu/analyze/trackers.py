@@ -439,9 +439,14 @@ def track_frames(
     def step(state, frame):
         return tracker_step(state, frame, cfg)
 
+    from wavespec_tpu.utils.vma import pvary_like
+
+    # Under shard_map(check_vma=True) the replicated zero-init carry must
+    # be pvary-promoted to the candidates' varying axes or the scan's
+    # carry-vma check rejects it (utils.vma; no-op outside shard_map).
     state, outs = jax.lax.scan(
         step,
-        init_state(cfg) if init is None else init,
+        pvary_like(init_state(cfg) if init is None else init, cand_periods),
         (
             cand_periods.astype(jnp.float32),
             cand_powers.astype(jnp.float32),

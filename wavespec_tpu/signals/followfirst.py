@@ -208,6 +208,11 @@ def followfirst_signals(
 
         return (last_dir, last_bar, position, mode), (sig, conf, position)
 
+    from wavespec_tpu.utils.vma import pvary_like
+
+    # shard_map(check_vma=True): promote the replicated init carry to the
+    # data's varying axes (utils.vma; no-op outside shard_map).
+    init = pvary_like(init, states)
     st_prev = jnp.concatenate([init.st_prev[None], states[:-1]], axis=0)
     eta_prev = jnp.concatenate([init.eta_prev[None], eta_raw[:-1]], axis=0)
     carry0 = (init.last_dir, init.last_bar, init.position, init.mode)
