@@ -41,7 +41,10 @@ def biquad_coeffs(period: jax.Array, bandwidth: float = 0.5):
     )
 
 
-@partial(jax.jit, static_argnames=("bandwidth", "zero_first", "return_state"))
+@partial(
+    jax.jit,
+    static_argnames=("bandwidth", "zero_first", "return_state", "sequential"),
+)
 def bandpass_cycle(
     price: jax.Array,
     period: jax.Array,
@@ -52,6 +55,7 @@ def bandpass_cycle(
     zero_first: int = 2,
     y_prev: jax.Array | None = None,
     return_state: bool = False,
+    sequential: bool = False,
 ) -> jax.Array:
     """Band-pass `price` ``[..., t]`` at `period`.
 
@@ -98,13 +102,52 @@ def bandpass_cycle(
         x_pre = jnp.broadcast_to(
             jnp.asarray(price_prev, jnp.float32), (*price.shape[:-1], 2)
         )
-    x_m2 = jnp.concatenate([x_pre, price[..., :-2]], axis=-1)
+    # x[i-2] for every i — concat-then-slice (not price[..., :-2]) so
+    # chunks shorter than 2 frames (the online driver's r=1 ticks) work.
+    x_m2 = jnp.concatenate([x_pre, price], axis=-1)[..., :t]
     u = b0 * price + b2 * x_m2
 
     live = (jnp.arange(t) >= zero_first) & (period_b > 0)
     if valid is not None:
         live = live & valid
     u = u * live
+
+    if sequential:
+        # Plain per-step recursion (`lax.scan`): BITWISE-resumable across
+        # chunk boundaries (the carried (y[-2], y[-1]) reproduces the
+        # one-shot step-for-step), unlike the associative-scan form whose
+        # combine tree regroups with length (resume there agrees only to
+        # ~1e-5). The v757 online driver / `V757Config(resumable=True)`
+        # route here on CPU; the device tail kernel is already sequential
+        # in-kernel (`kernels/v757_tail_pallas.py`). Dead frames write 0
+        # while y[i-1] passes through, exactly like the matrix form.
+        a1m = a1 * live
+        a2m = a2 * live
+        if y_prev is None:
+            y1_0 = jnp.zeros(price.shape[:-1], jnp.float32)
+            y2_0 = y1_0
+        else:
+            yp = jnp.broadcast_to(
+                jnp.asarray(y_prev, jnp.float32), (*price.shape[:-1], 2)
+            )
+            y2_0, y1_0 = yp[..., 0], yp[..., 1]
+
+        def stepf(carry, xs):
+            y1, y2 = carry
+            u_t, a1_t, a2_t = xs
+            y = u_t - a1_t * y1 - a2_t * y2
+            return (y, y1), y
+
+        xs = tuple(jnp.moveaxis(v, -1, 0) for v in (u, a1m, a2m))
+        from wavespec_tpu.utils.vma import pvary_like
+
+        (y1_f, y2_f), ys = jax.lax.scan(
+            stepf, pvary_like((y1_0, y2_0), price), xs
+        )
+        out = jnp.moveaxis(ys, 0, -1)
+        if not return_state:
+            return out
+        return out, jnp.stack([y2_f, y1_f], axis=-1)
 
     # state s_i = [y_i, y_{i-1}] = A_i s_{i-1} + [u_i, 0],
     # A_i = [[-a1_i, -a2_i], [1, 0]] on live frames,

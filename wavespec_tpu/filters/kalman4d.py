@@ -88,17 +88,11 @@ def kalman4d_filter(
     `return_state=True` the second element is the full `Kalman4DState`
     instead of the bare ``x`` vector.
     """
-    f = jnp.asarray(_transition())
     q_scale = max(0.05, cfg.follow_strength)
-    q_diag = jnp.asarray(
-        [
-            max(1e-9, cfg.q_pos * q_scale),
-            max(1e-9, cfg.q_vel * q_scale),
-            max(1e-9, cfg.q_acc * q_scale),
-            max(1e-9, cfg.q_jerk * q_scale),
-        ],
-        jnp.float32,
-    )
+    q_list = [
+        float(np.float32(max(1e-9, q * q_scale)))
+        for q in (cfg.q_pos, cfg.q_vel, cfg.q_acc, cfg.q_jerk)
+    ]
     r = max(1e-9, cfg.r)
 
     def single(series, st):
@@ -124,51 +118,102 @@ def kalman4d_filter(
         else:
             x0, p0, ema0, ready0 = st
 
-        hp = jax.lax.Precision.HIGHEST
+        # Hand-unrolled 4x4 algebra with every multiply-feeding-an-add
+        # pinned by optimization_barrier: XLA's emission of tiny dots and
+        # FMA formation is fusion-context-dependent on CPU (a length-1
+        # scan inlined into the online driver's step rounded ~1e-6
+        # differently from the same step inside a long scan body), and
+        # the bitwise chunked==one-shot contract needs the step's
+        # arithmetic identical in every context. Mirrors the constant
+        # structure the device tail kernel uses
+        # (`kernels/v757_tail_pallas.py` Kalman section).
+        pin = jax.lax.optimization_barrier
+        f_mat = _transition().tolist()
+
+        def dot_row(coeffs, vals):
+            """sum_k coeffs[k] * vals[k] with literal-zero terms dropped
+            and EVERY product and partial sum individually pinned — LLVM
+            reassociates float chains under the fast-math flags XLA CPU
+            fusions compile with, so even a bare left-assoc add chain
+            rounds context-dependently."""
+            acc = None
+            for cf, v in zip(coeffs, vals):
+                if cf == 0.0:
+                    continue
+                term = v if cf == 1.0 else pin(cf * v)
+                acc = term if acc is None else pin(acc + term)
+            return acc
 
         def step(carry, z):
             x, p, ema, ema_ready = carry
-            # HIGHEST precision: the covariance recursion is numerically
-            # sensitive and TPU matmuls default to bf16 (CLAUDE.md).
-            xp = jnp.matmul(f, x, precision=hp)
-            pp = jnp.matmul(
-                jnp.matmul(f, p, precision=hp), f.T, precision=hp
-            ) + jnp.diag(q_diag)
+            xv = [x[..., i] for i in range(4)]
+            pv = [[p[..., i, j] for j in range(4)] for i in range(4)]
 
-            y = z - xp[0]
-            s = pp[0, 0] + r
+            xp = [dot_row(f_mat[i], xv) for i in range(4)]
+            fp = [[dot_row(f_mat[i], [pv[k][j] for k in range(4)])
+                   for j in range(4)] for i in range(4)]
+            pp = [[dot_row(f_mat[j], fp[i]) for j in range(4)]
+                  for i in range(4)]
+            for i in range(4):
+                pp[i][i] = pin(pp[i][i] + q_list[i])
+
+            # sqrt/div also pinned: XLA CPU's fusion emitter compiles
+            # them with fast-math inside large fusions (approximate
+            # reciprocal/rsqrt), rounding differently from the same op
+            # standing alone — pinning makes each its own single-op
+            # fusion in every context.
+            y = pin(z - xp[0])
+            s = pin(pp[0][0] + r)
 
             if cfg.adapt_gain > 0.0:
-                sigma = jnp.sqrt(s)
-                boost = jnp.minimum(5.0, jnp.abs(y) / sigma) * cfg.adapt_gain
-                pp = pp + jnp.diag(boost * q_diag)
-                s = pp[0, 0] + r
+                sigma = pin(jnp.sqrt(s))
+                boost = pin(
+                    jnp.minimum(5.0, pin(jnp.abs(y) / sigma))
+                    * cfg.adapt_gain
+                )
+                for i in range(4):
+                    pp[i][i] = pin(pp[i][i] + pin(boost * q_list[i]))
+                s = pin(pp[0][0] + r)
 
             if cfg.clip_std > 0.0:
-                lim = cfg.clip_std * jnp.sqrt(s)
+                lim = pin(cfg.clip_std * pin(jnp.sqrt(s)))
                 y = jnp.clip(y, -lim, lim)
 
-            k = pp[:, 0] / s
-            x = xp + k * y
-            p = pp - jnp.outer(k, pp[0, :])
+            k = [pin(pp[i][0] / s) for i in range(4)]
+            xn = [pin(xp[i] + pin(k[i] * y)) for i in range(4)]
+            pn = [[pin(pp[i][j] - pin(k[i] * pp[0][j])) for j in range(4)]
+                  for i in range(4)]
             # reference floors the diagonal at 1e-12
-            p = jnp.where(jnp.eye(4, dtype=bool), jnp.maximum(p, 1e-12), p)
+            for i in range(4):
+                pn[i][i] = jnp.maximum(pn[i][i], 1e-12)
+            x = jnp.stack(xn, axis=-1)
+            p = jnp.stack(
+                [jnp.stack(row, axis=-1) for row in pn], axis=-2
+            )
 
-            out = x[0]
+            out = xn[0]
             if cfg.ema_blend_period > 0.0:
                 alpha = 2.0 / (cfg.ema_blend_period + 1.0)
                 # Reference seeds ema_prev with the FIRST FILTERED output
                 # (`:2117-2120` — not the raw measurement), so the first
                 # blended step passes `out` through unchanged.
                 ema = jnp.where(
-                    ema_ready, alpha * out + (1.0 - alpha) * ema, out
+                    ema_ready,
+                    pin(alpha * out) + pin((1.0 - alpha) * ema),
+                    out,
                 )
                 out = ema
-            return (x, p, ema, jnp.asarray(True)), out
+            # `ema_ready | True` (not a fresh constant): keeps the carry's
+            # varying-axes set under shard_map(check_vma=True).
+            return (x, p, ema, ema_ready | True), out
 
-        (x_f, p_f, ema_f, ready_f), outs = jax.lax.scan(
-            step, (x0, p0, ema0, ready0), series
-        )
+        from wavespec_tpu.utils.vma import pvary_like
+
+        # shard_map(check_vma=True): p0/x0 are built from replicated
+        # constants — promote the carry to the data's varying axes
+        # (utils.vma; no-op outside shard_map).
+        carry0 = pvary_like((x0, p0, ema0, ready0), series)
+        (x_f, p_f, ema_f, ready_f), outs = jax.lax.scan(step, carry0, series)
         if return_state:
             return outs, Kalman4DState(x_f, p_f, ema_f, ready_f)
         return outs, x_f

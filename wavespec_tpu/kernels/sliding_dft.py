@@ -154,13 +154,45 @@ def _matmul(x, w_re, w_im):
     return re, im
 
 
-@partial(jax.jit, static_argnames=("window", "n_bins", "window_type", "chunk"))
+def _stable_matmul(x, w_re, w_im):
+    """Context-independent ``[..., U] x [U, K]`` contraction.
+
+    XLA's dot emission is fusion-context-dependent on CPU (the SAME
+    [1, N] x [N, KM] anchor einsum rounded ~1e-7-relative differently
+    inside a scan body vs standalone), which breaks the bitwise
+    chunked==one-shot contract of the resumable v757 paths. Explicit
+    products (pinned to their own rounding by optimization_barrier) +
+    a fixed pairwise-halving add tree give every output an evaluation
+    order fixed by the graph — `extract._stable_row_sum`'s technique
+    lifted to a matmul. Costs a [..., U, K] materialization; only the
+    `pin=True` (resumable/online) paths pay it.
+    """
+    u = x.shape[-1]
+    size = 1 << max(u - 1, 0).bit_length()
+
+    def one(w):
+        p = jax.lax.optimization_barrier(x[..., :, None] * w)
+        p = jnp.pad(p, [(0, 0)] * (p.ndim - 2) + [(0, size - u), (0, 0)])
+        s = size
+        while s > 1:
+            s //= 2
+            p = p[..., :s, :] + p[..., s:, :]
+        return p[..., 0, :]
+
+    return one(w_re), one(w_im)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("window", "n_bins", "window_type", "chunk", "pin"),
+)
 def sliding_band_spec(
     series: jax.Array,
     window: int,
     n_bins: int,
     window_type: WindowType | int = WindowType.NONE,
     chunk: int = 128,
+    pin: bool = False,
 ) -> jax.Array:
     """Tapered band spectrum of EVERY hop=1 window of ``series``.
 
@@ -174,7 +206,17 @@ def sliding_band_spec(
     convolution.  Appending samples never changes earlier frames' values:
     each output row reads only samples [n0, n+window) and the per-row
     contraction order is fixed.
+
+    ``pin=True`` wraps every dot operand/result and every multiply that
+    feeds an add in `jax.lax.optimization_barrier`, making the
+    arithmetic identical in EVERY fusion context (CPU XLA forms FMAs and
+    fuses skinny dots context-dependently, ~1e-7-relative drift between
+    the same block computed standalone vs inside a larger program). The
+    v757 resumable/online paths require this for bitwise chunk parity;
+    the default batch path stays unpinned (fusion is its performance).
     """
+    pb = jax.lax.optimization_barrier if pin else (lambda x: x)
+    mm = _stable_matmul if pin else _matmul
     wt = int(WindowType(int(window_type)))
     n = window
     tabs = _tables(n, n_bins, chunk, wt)
@@ -196,7 +238,7 @@ def sliding_band_spec(
 
     # 1) anchor DFTs: windows at chunk starts, one [.., n_chunk, N] x
     # [N, K*M] complex contraction via the factored basis.
-    w0 = frame_series(s, n, chunk)[..., :n_chunk, :]  # [.., n_chunk, N]
+    w0 = pb(frame_series(s, n, chunk)[..., :n_chunk, :])  # [.., n_chunk, N]
     j1, km = tabs["a_re"].shape
     j2 = tabs["b_re"].shape[0]
     a_re, a_im = jnp.asarray(tabs["a_re"]), jnp.asarray(tabs["a_im"])
@@ -205,10 +247,10 @@ def sliding_band_spec(
                 - a_im[:, None, :] * b_im[None, :, :]).reshape(j1 * j2, km)[:n]
     basis_im = (a_re[:, None, :] * b_im[None, :, :]
                 + a_im[:, None, :] * b_re[None, :, :]).reshape(j1 * j2, km)[:n]
-    y0_re, y0_im = _matmul(w0, basis_re, basis_im)  # [.., n_chunk, K*M]
+    y0_re, y0_im = mm(w0, basis_re, basis_im)  # [.., n_chunk, K*M]
     n_m = tabs["n_m"]
-    y0_re = y0_re.reshape(*lead, n_chunk, n_bins, n_m)
-    y0_im = y0_im.reshape(*lead, n_chunk, n_bins, n_m)
+    y0_re = pb(y0_re).reshape(*lead, n_chunk, n_bins, n_m)
+    y0_im = pb(y0_im).reshape(*lead, n_chunk, n_bins, n_m)
 
     # 2) spread anchors over the chunk: P0[c, n, k] = sum_m En[n,k,m] Y0[c,k,m].
     # As an unrolled M-term broadcast-FMA chain, NOT an einsum: the dot
@@ -222,8 +264,8 @@ def sliding_band_spec(
         er, ei = en_re[:, :, mi], en_im[:, :, mi]          # [C, K]
         yr = y0_re[..., :, None, :, mi]                     # [.., c, 1, K]
         yi = y0_im[..., :, None, :, mi]
-        p_re = p_re + (er * yr - ei * yi)
-        p_im = p_im + (er * yi + ei * yr)
+        p_re = p_re + (pb(er * yr) - pb(ei * yi))
+        p_im = p_im + (pb(er * yi) + pb(ei * yr))
 
     # 3) causal convolutions. Chunk-local operands: head x[c, t] = s[c*C+t],
     # tail x[c, t] = s[c*C+t+N]; frame rows Fz[c, n, u] = x[c, n+u-(C-1)]
@@ -239,16 +281,18 @@ def sliding_band_spec(
         )
         return frame_series(z, c - 1, 1)  # [.., n_chunk, C, C-1]
 
-    fh = conv_frames(head)
-    ft = conv_frames(tail)
-    h_re, h_im = _matmul(
+    fh = pb(conv_frames(head))
+    ft = pb(conv_frames(tail))
+    h_re, h_im = mm(
         fh, jnp.asarray(tabs["k_head_re"]), jnp.asarray(tabs["k_head_im"])
     )
-    t_re, t_im = _matmul(
+    t_re, t_im = mm(
         ft, jnp.asarray(tabs["k_tail_re"]), jnp.asarray(tabs["k_tail_im"])
     )
 
-    spec_re = (p_re + t_re - h_re).reshape(*lead, n_chunk * c, n_bins)
-    spec_im = (p_im + t_im - h_im).reshape(*lead, n_chunk * c, n_bins)
+    spec_re = (pb(p_re) + pb(t_re) - pb(h_re)).reshape(
+        *lead, n_chunk * c, n_bins)
+    spec_im = (pb(p_im) + pb(t_im) - pb(h_im)).reshape(
+        *lead, n_chunk * c, n_bins)
     return jax.lax.complex(spec_re[..., :t_frames, :],
                            spec_im[..., :t_frames, :])

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -99,41 +100,77 @@ def _median5_masked(rows):
 
 
 def _kernel(
-    # inputs [1, ., B] per grid step
-    price_ref, prev_ref, period_ref, valid_ref, gd_ref,
-    # outputs
-    cyc_ref, color_ref, eta_disp_ref, eta_raw_ref, states_ref, sig_ref,
-    conf_ref, kal_ref,
-    # scratch
-    y1_s, y2_s, xh_s, vprev_s, colorp_s, bars_s, lasteta_s, bull_s,
-    bear_s, est_s, ring_s, stp_s, etp_s, lastdir_s, lastbar_s, posmode_s,
-    kx_s, kp_s, kema_s,
-    *, s_slots: int, cap: int, bandwidth: float, spb: float,
+    # inputs: t0 scalar (SMEM), then [1, ., B] per grid step
+    t0_ref, price_ref, prev_ref, period_ref, valid_ref, gd_ref,
+    # then (has_init) 19 initial-state blocks, outputs, scratch — in *rest
+    *rest,
+    s_slots: int, cap: int, bandwidth: float, spb: float,
     prior_bars: int, eta_mode: int, fft_window: int, ff, kal, t_total: int,
+    has_init: bool, emit_state: bool,
 ):
-    t = pl.program_id(1)
+    init_refs = rest[:19] if has_init else ()
+    rest = rest[19:] if has_init else rest
+    (cyc_ref, color_ref, eta_disp_ref, eta_raw_ref, states_ref, sig_ref,
+     conf_ref, kal_ref) = rest[:8]
+    rest = rest[8:]
+    if emit_state:
+        sf_ref, si_ref = rest[:2]
+        rest = rest[2:]
+    (y1_s, y2_s, xh_s, vprev_s, colorp_s, bars_s, lasteta_s, bull_s,
+     bear_s, est_s, ring_s, stp_s, etp_s, lastdir_s, lastbar_s, posmode_s,
+     kx_s, kp_s, kema_s) = rest
+
+    # Absolute frame index: the ring slots, FollowFirst bar bookkeeping
+    # and first-frame semantics all count from the BEGINNING OF TIME, so
+    # a resumed chunk continues at t0 = carried tpos (0 fresh). Scalar —
+    # the ring write needs a scalar dynamic-slice start.
+    t = t0_ref[0] + pl.program_id(1)
     is_first = t == 0
     fzero = jnp.zeros((s_slots, LANES), jnp.float32)
     izero = jnp.zeros((s_slots, LANES), jnp.int32)
 
-    @pl.when(is_first)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
-        xh_s[:] = prev_ref[:]            # [2, B] = (x[-2], x[-1])
-        y1_s[:] = fzero
-        y2_s[:] = fzero
-        vprev_s[:] = fzero
-        colorp_s[:] = fzero
-        bars_s[:] = izero + prior_bars
-        lasteta_s[:] = fzero
-        bull_s[:] = jnp.zeros((5, s_slots, LANES), jnp.int32)
-        bear_s[:] = jnp.zeros((5, s_slots, LANES), jnp.int32)
-        est_s[:] = jnp.zeros((2, s_slots, LANES), jnp.float32)
-        ring_s[:] = jnp.zeros((cap, s_slots, LANES), jnp.float32)
-        lastdir_s[:] = izero
-        lastbar_s[:] = izero - 1
-        pm_row = jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 0)
-        posmode_s[:] = jnp.where(pm_row == 0, -1, 0)  # position=-1, mode=0
-        kema_s[:] = jnp.zeros((2, LANES), jnp.float32)
+        if has_init:
+            (i_y1, i_y2, i_xh, i_vprev, i_colorp, i_lasteta, i_est,
+             i_ring, i_stp, i_etp, i_kx, i_kp, i_kema, i_bars, i_bull,
+             i_bear, i_lastdir, i_lastbar, i_posmode) = init_refs
+            y1_s[:] = i_y1[:]
+            y2_s[:] = i_y2[:]
+            xh_s[:] = i_xh[:]
+            vprev_s[:] = i_vprev[:]
+            colorp_s[:] = i_colorp[:]
+            lasteta_s[:] = i_lasteta[:]
+            est_s[:] = i_est[:].reshape(2, s_slots, LANES)
+            ring_s[:] = i_ring[:].reshape(cap, s_slots, LANES)
+            stp_s[:] = i_stp[:]
+            etp_s[:] = i_etp[:]
+            kx_s[:] = i_kx[:]
+            kp_s[:] = i_kp[:].reshape(4, 4, LANES)
+            kema_s[:] = i_kema[:]
+            bars_s[:] = i_bars[:]
+            bull_s[:] = i_bull[:].reshape(5, s_slots, LANES)
+            bear_s[:] = i_bear[:].reshape(5, s_slots, LANES)
+            lastdir_s[:] = i_lastdir[:]
+            lastbar_s[:] = i_lastbar[:]
+            posmode_s[:] = i_posmode[:]
+        else:
+            xh_s[:] = prev_ref[:]            # [2, B] = (x[-2], x[-1])
+            y1_s[:] = fzero
+            y2_s[:] = fzero
+            vprev_s[:] = fzero
+            colorp_s[:] = fzero
+            bars_s[:] = izero + prior_bars
+            lasteta_s[:] = fzero
+            bull_s[:] = jnp.zeros((5, s_slots, LANES), jnp.int32)
+            bear_s[:] = jnp.zeros((5, s_slots, LANES), jnp.int32)
+            est_s[:] = jnp.zeros((2, s_slots, LANES), jnp.float32)
+            ring_s[:] = jnp.zeros((cap, s_slots, LANES), jnp.float32)
+            lastdir_s[:] = izero
+            lastbar_s[:] = izero - 1
+            pm_row = jax.lax.broadcasted_iota(jnp.int32, (2, LANES), 0)
+            posmode_s[:] = jnp.where(pm_row == 0, -1, 0)  # pos=-1, mode=0
+            kema_s[:] = jnp.zeros((2, LANES), jnp.float32)
 
     x = price_ref[0]                     # [1, B]
     period = period_ref[0]               # [S, B]
@@ -428,9 +465,34 @@ def _kernel(
         sig_ref[0] = sig
         conf_ref[0] = conf
 
+    def _emit_state():
+        """Pack every machine's scratch into the two final-state outputs
+        (written once, at the last grid step — the constant-index output
+        blocks persist across steps). Row layout mirrors
+        `_STATE_F32_ROWS`/`_STATE_I32_ROWS` in the host wrapper."""
+        sf_ref[:] = jnp.concatenate([
+            y1_s[:], y2_s[:], vprev_s[:], colorp_s[:], lasteta_s[:],
+            stp_s[:], etp_s[:],
+            est_s[:].reshape(2 * s_slots, LANES),
+            ring_s[:].reshape(cap * s_slots, LANES),
+            xh_s[:], kema_s[:], kx_s[:],
+            kp_s[:].reshape(16, LANES),
+        ], axis=0)
+        si_ref[:] = jnp.concatenate([
+            bars_s[:],
+            bull_s[:].reshape(5 * s_slots, LANES),
+            bear_s[:].reshape(5 * s_slots, LANES),
+            lastdir_s[:], lastbar_s[:], posmode_s[:],
+            jnp.full((1, LANES), t + 1, jnp.int32),
+        ], axis=0)
+
     # ---------------- Kalman 4D (filters.kalman4d) -------------------
     if kal is None:
         kal_ref[0] = jnp.zeros((1, LANES), jnp.float32)
+        if emit_state:
+            @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+            def _():
+                _emit_state()
         return
 
     f_mat = [[1.0, 1.0, 0.5, 1.0 / 6.0],
@@ -445,7 +507,7 @@ def _kernel(
     r_noise = max(1e-9, kal.r)
     z = x  # [1, B]
 
-    @pl.when(is_first)
+    @pl.when((pl.program_id(1) == 0) & jnp.bool_(not has_init))
     def _kinit():
         kx_s[:] = jnp.concatenate(
             [z, jnp.full((1, LANES), kal.init_vel, jnp.float32),
@@ -508,9 +570,42 @@ def _kernel(
         kema_s[:] = jnp.concatenate(
             [ema, jnp.ones((1, LANES), jnp.float32)], axis=0)
     kal_ref[0] = out
+    if emit_state:
+        @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+        def _():
+            _emit_state()
 
 
-@partial(jax.jit, static_argnames=("cfg", "hop", "interpret"))
+class V757TailState(NamedTuple):
+    """Full tail-kernel state for chunked/online resume: every scratch
+    array the kernel carries across frames, in natural shapes (leading
+    dims = the symbol batch). `tpos` is the ABSOLUTE next frame index —
+    the lag ring and FollowFirst bar bookkeeping count from the beginning
+    of time, so a resumed chunk continues the same clock."""
+
+    y1: jax.Array        # [..., S] biquad y[i-1]
+    y2: jax.Array        # [..., S] biquad y[i-2]
+    xh: jax.Array        # [..., 2] (x[-2], x[-1]) price history
+    vprev: jax.Array     # [..., S] previous cycle value
+    colorp: jax.Array    # [..., S] previous color
+    lasteta: jax.Array   # [..., S] last eta seconds
+    est: jax.Array       # [..., 2, S] phase-duration estimate cache
+    ring: jax.Array      # [..., cap, S] quarter-period lag ring
+    stp: jax.Array       # [..., S] previous states
+    etp: jax.Array       # [..., S] previous raw ETA
+    kx: jax.Array        # [..., 4] Kalman state
+    kp: jax.Array        # [..., 4, 4] Kalman covariance
+    kema: jax.Array      # [..., 2] Kalman (ema, ready)
+    bars: jax.Array      # [..., S] i32 bars in phase
+    bull: jax.Array      # [..., 5, S] i32 bull phase-duration history
+    bear: jax.Array      # [..., 5, S] i32
+    lastdir: jax.Array   # [..., S] i32 FollowFirst last signal dir
+    lastbar: jax.Array   # [..., S] i32 FollowFirst last signal bar (abs)
+    posmode: jax.Array   # [..., 2] i32 (position, mode)
+    tpos: jax.Array      # [...] i32 absolute next frame
+
+
+@partial(jax.jit, static_argnames=("cfg", "hop", "interpret", "return_state"))
 def v757_tail_pallas(
     newest: jax.Array,       # [..., T] frame-aligned price
     price_prev: jax.Array,   # [..., 2] (x[-2], x[-1]) before frame 0
@@ -520,6 +615,8 @@ def v757_tail_pallas(
     cfg,                     # pipeline.v757.V757Config
     hop: int,
     interpret: bool = False,
+    init: V757TailState | None = None,
+    return_state: bool = False,
 ):
     """The whole v757 per-frame tail in one Pallas launch.
 
@@ -527,6 +624,15 @@ def v757_tail_pallas(
     eta_display, eta_raw, states, sig) and [..., T] (confluence,
     kalman; kalman omitted when cfg.enable_kalman is False). Leading
     dims are the symbol batch (flattened onto the VPU lanes).
+
+    `init` resumes every in-kernel machine from a prior call's final
+    state (returned as the second element with `return_state=True`):
+    feeding chunk N's state into chunk N+1 reproduces the one-shot
+    launch bitwise — the per-frame arithmetic is identical, only the
+    scratch initialization (loaded from the 19 init blocks instead of
+    zeros) and the absolute frame clock `t0` differ. The reference keeps
+    all of this in persistent globals across `OnCalculate` ticks
+    (`pla-kalman.mq5:966-986,1415-1530,2015-2125,2130-2288`).
     """
     lead = periods.shape[:-2]
     t_frames, s_slots = periods.shape[-2:]
@@ -567,8 +673,51 @@ def v757_tail_pallas(
                         memory_space=pltpu.VMEM)
     in_pv = pl.BlockSpec((2, LANES), lambda i, t: (0, i),
                          memory_space=pltpu.VMEM)
+    in_t0 = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_s = in_s
     out_1 = in_1
+
+    # --- resumable state plumbing (init blocks in, packed state out) ---
+    def srows(a, rows, dt):
+        x = jnp.asarray(a, dt).reshape(-1, rows)
+        x = jnp.swapaxes(x, 0, 1)                       # [rows, B]
+        if b_pad != x.shape[-1]:
+            x = jnp.pad(x, ((0, 0), (0, b_pad - x.shape[-1])))
+        return x
+
+    if init is None:
+        t0 = jnp.zeros((1,), jnp.int32)
+        init_arrays: list = []
+    else:
+        t0 = jnp.asarray(init.tpos, jnp.int32).reshape(-1)[:1]
+        init_arrays = [
+            srows(init.y1, s_slots, jnp.float32),
+            srows(init.y2, s_slots, jnp.float32),
+            srows(init.xh, 2, jnp.float32),
+            srows(init.vprev, s_slots, jnp.float32),
+            srows(init.colorp, s_slots, jnp.float32),
+            srows(init.lasteta, s_slots, jnp.float32),
+            srows(init.est, 2 * s_slots, jnp.float32),
+            srows(init.ring, cap * s_slots, jnp.float32),
+            srows(init.stp, s_slots, jnp.float32),
+            srows(init.etp, s_slots, jnp.float32),
+            srows(init.kx, 4, jnp.float32),
+            srows(init.kp, 16, jnp.float32),
+            srows(init.kema, 2, jnp.float32),
+            srows(init.bars, s_slots, jnp.int32),
+            srows(init.bull, 5 * s_slots, jnp.int32),
+            srows(init.bear, 5 * s_slots, jnp.int32),
+            srows(init.lastdir, s_slots, jnp.int32),
+            srows(init.lastbar, s_slots, jnp.int32),
+            srows(init.posmode, 2, jnp.int32),
+        ]
+    init_specs = [
+        pl.BlockSpec((a.shape[0], LANES), lambda i, t: (0, i),
+                     memory_space=pltpu.VMEM)
+        for a in init_arrays
+    ]
+    rows_f = 9 * s_slots + cap * s_slots + 24
+    rows_i = 13 * s_slots + 3
 
     kal = cfg.kalman if cfg.enable_kalman else None
     kernel = partial(
@@ -577,16 +726,31 @@ def v757_tail_pallas(
         spb=float(cfg.seconds_per_bar), prior_bars=prior_bars,
         eta_mode=int(cfg.eta_mode), fft_window=int(cfg.window),
         ff=cfg.followfirst, kal=kal, t_total=t_frames,
+        has_init=init is not None, emit_state=return_state,
     )
     so = lambda: out_struct((t_frames, s_slots, b_pad), jnp.float32, per)
     oo = lambda: out_struct((t_frames, 1, b_pad), jnp.float32, per)
+    state_specs = []
+    state_shapes = []
+    if return_state:
+        state_specs = [
+            pl.BlockSpec((rows_f, LANES), lambda i, t: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_i, LANES), lambda i, t: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        state_shapes = [
+            out_struct((rows_f, b_pad), jnp.float32, per),
+            out_struct((rows_i, b_pad), jnp.int32, per),
+        ]
     vmem = pltpu.VMEM
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in_1, in_pv, in_s, in_s, in_s],
-        out_specs=[out_s] * 6 + [out_1, out_1],
-        out_shape=[so(), so(), so(), so(), so(), so(), oo(), oo()],
+        in_specs=[in_t0, in_1, in_pv, in_s, in_s, in_s] + init_specs,
+        out_specs=[out_s] * 6 + [out_1, out_1] + state_specs,
+        out_shape=[so(), so(), so(), so(), so(), so(), oo(), oo()]
+        + state_shapes,
         scratch_shapes=[
             vmem((s_slots, LANES), jnp.float32),      # y1
             vmem((s_slots, LANES), jnp.float32),      # y2
@@ -609,7 +773,7 @@ def v757_tail_pallas(
             vmem((2, LANES), jnp.float32),            # kalman ema/ready
         ],
         interpret=interpret,
-    )(pr, pv, per, va, gd)
+    )(t0, pr, pv, per, va, gd, *init_arrays)
 
     def back(x, rows):
         y = jnp.moveaxis(x[..., :b], -1, 0)          # [B, T, rows]
@@ -617,7 +781,7 @@ def v757_tail_pallas(
             return y.reshape(*lead, t_frames)
         return y.reshape(*lead, t_frames, rows)
 
-    cyc, color, eta_disp, eta_raw, states, sig, conf, kalv = outs
+    cyc, color, eta_disp, eta_raw, states, sig, conf, kalv = outs[:8]
     out = {
         "cycle_values": back(cyc, s_slots),
         "color": back(color, s_slots),
@@ -629,4 +793,37 @@ def v757_tail_pallas(
     }
     if cfg.enable_kalman:
         out["kalman"] = back(kalv, 1)
-    return out
+    if not return_state:
+        return out
+
+    sf, si = outs[8], outs[9]
+
+    def unrows(x, r0, rows, shape, dt=None):
+        y = jnp.moveaxis(x[r0 : r0 + rows, :b], -1, 0)
+        y = y.reshape(*lead, *shape)
+        return y if dt is None else y.astype(dt)
+
+    s = s_slots
+    state = V757TailState(
+        y1=unrows(sf, 0, s, (s,)),
+        y2=unrows(sf, s, s, (s,)),
+        vprev=unrows(sf, 2 * s, s, (s,)),
+        colorp=unrows(sf, 3 * s, s, (s,)),
+        lasteta=unrows(sf, 4 * s, s, (s,)),
+        stp=unrows(sf, 5 * s, s, (s,)),
+        etp=unrows(sf, 6 * s, s, (s,)),
+        est=unrows(sf, 7 * s, 2 * s, (2, s)),
+        ring=unrows(sf, 9 * s, cap * s, (cap, s)),
+        xh=unrows(sf, 9 * s + cap * s, 2, (2,)),
+        kema=unrows(sf, 9 * s + cap * s + 2, 2, (2,)),
+        kx=unrows(sf, 9 * s + cap * s + 4, 4, (4,)),
+        kp=unrows(sf, 9 * s + cap * s + 8, 16, (4, 4)),
+        bars=unrows(si, 0, s, (s,)),
+        bull=unrows(si, s, 5 * s, (5, s)),
+        bear=unrows(si, 6 * s, 5 * s, (5, s)),
+        lastdir=unrows(si, 11 * s, s, (s,)),
+        lastbar=unrows(si, 12 * s, s, (s,)),
+        posmode=unrows(si, 13 * s, 2, (2,)),
+        tpos=unrows(si, 13 * s + 2, 1, ()),
+    )
+    return out, state

@@ -101,6 +101,96 @@ def ehlers_highpass_detrend_rows(
     return rows - _linear_recurrence(a, b)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("trend_period", "block", "return_carry"),
+)
+def ehlers_highpass_blocked(
+    price: jax.Array,
+    trend_period: int = 1024,
+    block: int = 128,
+    carry: tuple[jax.Array, jax.Array] | None = None,
+    return_carry: bool = False,
+):
+    """`ehlers_highpass_detrend` with bitwise-resumable block boundaries.
+
+    The plain associative-scan filter is prefix-invariant (appending
+    samples never changes earlier outputs) but NOT suffix-computable: a
+    resumed computation cannot reproduce the canonical combine tree from
+    a carried scalar state. This variant fixes the arithmetic per
+    `block`-sample segment — inside each block a fixed-shape associative
+    scan solves the recurrence from zero state, then the carried trend
+    folds in as an exact ``alpha^(j+1) * trend_carry`` correction (the
+    homogeneous solution) — so ``hp[j]`` depends only on (carry at the
+    block start, the block's samples), and resuming from any block
+    boundary with the carried ``(trend_last, price_last)`` reproduces the
+    one-shot run BITWISE. This is the spectral-stage resumability the
+    v757 online driver needs (`V757Config(resumable=True)` routes the
+    pipeline's detrend here); it matches the plain filter to ~1e-6
+    relative (same math, different summation grouping).
+
+    ``price``: [..., L]; blocks are aligned to index 0 of the LAST axis,
+    so a resumed call must start at a multiple of ``block`` of the
+    original stream (the driver keeps its buffers 128-aligned).
+    ``carry``: ``(trend_last, price_last)`` [...]-shaped, the state after
+    the sample preceding ``price[..., 0]``; None = fresh start (the
+    reference seeds ``trend[0] = c*(p[0]+p[0])``, i.e. carry
+    ``(0, price[..., 0])``). With ``return_carry=True`` returns
+    ``(hp, (trend_last, price_last))`` — L must then be a block multiple
+    so the carry is taken after a full real block.
+    """
+    w = 2.0 * jnp.pi / trend_period
+    alpha = (1.0 - jnp.sin(w)) / jnp.cos(w)
+    c = (1.0 - alpha) / 2.0
+    import numpy as _np
+
+    wf = 2.0 * _np.pi / trend_period
+    alpha64 = (1.0 - _np.sin(wf)) / _np.cos(wf)
+    # alpha^(j+1), j in [0, block): homogeneous propagation of the carry
+    apow = jnp.asarray(
+        (alpha64 ** _np.arange(1, block + 1)).astype(_np.float32)
+    )
+
+    price = price.astype(jnp.float32)
+    lead = price.shape[:-1]
+    length = price.shape[-1]
+    if return_carry and length % block:
+        raise ValueError(
+            f"return_carry needs a block-multiple length, got {length}"
+        )
+    nblk = -(-length // block)
+    pad = nblk * block - length
+    pb = jnp.pad(price, [(0, 0)] * len(lead) + [(0, pad)]) if pad else price
+    pb = pb.reshape(*lead, nblk, block)
+    pb = jnp.moveaxis(pb, -2, 0)                       # [nblk, ..., block]
+
+    if carry is None:
+        trend0 = jnp.zeros(lead, jnp.float32)
+        p0 = price[..., 0]
+    else:
+        trend0 = jnp.asarray(carry[0], jnp.float32)
+        p0 = jnp.asarray(carry[1], jnp.float32)
+    from wavespec_tpu.utils.vma import pvary_like
+
+    trend0, p0 = pvary_like(
+        (jnp.broadcast_to(trend0, lead), jnp.broadcast_to(p0, lead)), price
+    )
+
+    def step(cr, blk):
+        trend_c, p_c = cr
+        prev = jnp.concatenate([p_c[..., None], blk[..., :-1]], axis=-1)
+        b = c * (blk + prev)
+        a = jnp.full_like(blk, alpha)
+        trend = _linear_recurrence(a, b) + apow * trend_c[..., None]
+        return (trend[..., -1], blk[..., -1]), blk - trend
+
+    cr, hp = jax.lax.scan(step, (trend0, p0), pb)
+    hp = jnp.moveaxis(hp, 0, -2).reshape(*lead, nblk * block)[..., :length]
+    if return_carry:
+        return hp, cr
+    return hp
+
+
 class DcMode(enum.IntEnum):
     """`gpu_remove_dc_time_series` mode ids (mode 0 = mean removal default)."""
 
