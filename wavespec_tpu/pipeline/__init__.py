@@ -7,6 +7,7 @@ from wavespec_tpu.pipeline.drivers import (
     decoded_buffers,
     extract_cycles_batch_chunked,
 )
+from wavespec_tpu.pipeline.online import V757OnlineDriver
 from wavespec_tpu.pipeline.session import Session
 from wavespec_tpu.pipeline.spec import (
     PipelineSpec,
@@ -40,4 +41,5 @@ __all__ = [
     "run_v757_batch",
     "run_v757_batch_sharded",
     "V757Config",
+    "V757OnlineDriver",
 ]

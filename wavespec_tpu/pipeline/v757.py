@@ -31,7 +31,10 @@ from wavespec_tpu.extract import DetrendMode, frame_highpassed, frame_series
 from wavespec_tpu.filters.biquad import bandpass_cycle
 from wavespec_tpu.filters.kalman4d import Kalman4DConfig, kalman4d_filter
 from wavespec_tpu.kernels.mxu_fft import rfft_mxu
-from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
+from wavespec_tpu.ops.detrend import (
+    ehlers_highpass_blocked,
+    ehlers_highpass_detrend,
+)
 from wavespec_tpu.ops.gather import take_last
 from wavespec_tpu.ops.phase import GROUP_DELAY_CLAMP, fft_phase
 from wavespec_tpu.ops.spectrum import band_indices
@@ -67,6 +70,19 @@ class V757Config:
     # on CPU); False forces framed. Ineligible shapes (hop > 1, Bartlett
     # taper, LINEAR detrend) always use the framed path.
     sliding_spectral: bool | None = None
+    # Bitwise chunk/resume-invariant arithmetic (the v757 online driver's
+    # contract, `pipeline.online.V757OnlineDriver`): the spectral stage
+    # computes hop-1 band spectra in canonical 128-frame blocks (each
+    # block's DFT/conv shapes are FIXED, so recomputing one block in a
+    # live tick reproduces the one-shot value bit-for-bit on every
+    # backend), the Ehlers detrend runs block-sequentially
+    # (`ops.detrend.ehlers_highpass_blocked` — resumable at 128-sample
+    # boundaries), and the CPU biquad uses the sequential recursion
+    # (`filters.biquad sequential=True`). Outputs match resumable=False
+    # to f32 rounding (same math, different summation grouping); discrete
+    # outputs can differ where near-tie candidate ranks flip (same class
+    # of divergence the oracle gates measure). hop must be 1.
+    resumable: bool = False
     tracker: TrackerConfig = TrackerConfig()
     eta_mode: EtaMode = EtaMode.PHASE_NEXT_EXTREMUM
     seconds_per_bar: float = 60.0
@@ -81,6 +97,167 @@ def _gd_lo(cfg: V757Config) -> int:
     picks subtract this offset."""
     k_min, _ = band_indices(cfg.window, cfg.min_period, cfg.max_period)
     return max(k_min - 1, 0)
+
+
+# Canonical resumable spectral block: hop-1 frames per fixed-shape DFT
+# program (`V757Config.resumable`). 128 matches `sliding_band_spec`'s
+# internal chunk, so one block is exactly one anchor DFT + one causal-conv
+# slab — and the online driver recomputes at most one block per tick.
+FRAME_BLOCK = 128
+
+
+def _use_sliding(cfg: V757Config, hop: int) -> bool:
+    from wavespec_tpu.kernels.sliding_dft import taper_harmonics
+
+    want = (
+        cfg.sliding_spectral
+        if cfg.sliding_spectral is not None
+        else jax.default_backend() != "cpu"
+    )
+    return (
+        want
+        and hop == 1
+        and cfg.detrend in (DetrendMode.NONE, DetrendMode.EHLERS)
+        and taper_harmonics(cfg.taper) is not None
+    )
+
+
+def _ehlers_consts(trend_period: int) -> tuple[float, float]:
+    """(alpha, c2 = 1 - alpha = 2c) of the reference's one-pole trend
+    filter, in float64 (`...pla-kalman.mq5:3422-3435`)."""
+    import numpy as _np
+
+    wf = 2.0 * _np.pi / trend_period
+    alpha = (1.0 - _np.sin(wf)) / _np.cos(wf)
+    return alpha, 1.0 - alpha
+
+
+def _resumable_block_spec(seg, hp_seg, trend_seg, cfg: V757Config):
+    """Band spectrum of the FRAME_BLOCK hop-1 frames starting at
+    ``seg[..., 0]`` — the canonical fixed-shape arithmetic of the
+    `resumable` mode.
+
+    ``seg``/``hp_seg``/``trend_seg``: [..., window + FRAME_BLOCK - 1]
+    raw samples, block-resumable Ehlers output, and its trend
+    (``trend_seg`` is only read for EHLERS detrend; pass ``seg`` as a
+    placeholder otherwise). Every DFT/conv in here sees the same operand
+    shapes no matter where the block sits in the stream or how long the
+    history is, so a live tick recomputing its current block reproduces
+    the one-shot values bit-for-bit — matmul tiling/reduction order is a
+    function of operand shape, which this pins (prefix-invariance of the
+    per-row contraction alone is backend-dependent; fixed shapes are not).
+    """
+    n = cfg.window
+    k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
+    n_bins = min(k_max + 3, n // 2)
+    fb = FRAME_BLOCK
+    from wavespec_tpu.kernels.sliding_dft import (
+        sliding_band_spec, tapered_dft_of,
+    )
+
+    # Context-pinning: CPU XLA forms (or doesn't form) FMAs for
+    # mul-then-add patterns depending on the surrounding fusion — the
+    # SAME `spec - delta*tg` correction measured 1e-7-relative different
+    # inside a lax.map body vs standalone. optimization_barrier pins the
+    # product to its own rounding so every context computes the block
+    # identically (the whole point of this function).
+    barrier = jax.lax.optimization_barrier
+
+    if _use_sliding(cfg, 1):
+        spec = sliding_band_spec(
+            hp_seg, n, n_bins, cfg.taper, chunk=fb, pin=True
+        )
+        # pin the raw sliding output FIRST: its internal add chain fused
+        # with the correction subtract rounds context-dependently
+        spec_re = barrier(jnp.real(spec))
+        spec_im = barrier(jnp.imag(spec))
+        if cfg.detrend == DetrendMode.EHLERS:
+            import numpy as _np
+
+            alpha, c2 = _ehlers_consts(cfg.trend_period)
+            delta = barrier(
+                jnp.float32(c2) * seg[..., :fb] - trend_seg[..., :fb]
+            )
+            tg = jnp.asarray(tapered_dft_of(
+                alpha ** _np.arange(n, dtype=_np.float64), n_bins, cfg.taper
+            ))
+            spec_re = spec_re - barrier(delta[..., None] * jnp.real(tg))
+            spec_im = spec_im - barrier(delta[..., None] * jnp.imag(tg))
+        return jax.lax.complex(barrier(spec_re), barrier(spec_im))
+
+    # framed branch: per-window DFT of the block's 128 windows
+    windows = frame_series(hp_seg, n, 1)[..., :fb, :]
+    if cfg.detrend == DetrendMode.EHLERS:
+        import numpy as _np
+
+        alpha, c2 = _ehlers_consts(cfg.trend_period)
+        aj = jnp.asarray((alpha ** _np.arange(n)).astype(_np.float32))
+        delta = barrier(
+            jnp.float32(c2) * seg[..., :fb] - trend_seg[..., :fb]
+        )
+        windows = windows - barrier(delta[..., None] * aj)
+    if cfg.taper != WindowType.NONE:
+        windows = barrier(
+            windows * window_coefficients(n, cfg.taper, windows.dtype)
+        )
+    if jax.default_backend() != "cpu":
+        from wavespec_tpu.kernels.fused_dft import rfft_band_fused_any
+
+        spec = rfft_band_fused_any(windows, n_bins)
+    else:
+        spec = rfft_mxu(windows, max_bins=n_bins)[..., :n_bins]
+    return jax.lax.complex(
+        barrier(jnp.real(spec)), barrier(jnp.imag(spec))
+    )
+
+
+def _resumable_hp(series: jax.Array, cfg: V757Config):
+    """(hp, trend) of the resumable pipeline: block-sequential Ehlers
+    (bitwise-resumable at FRAME_BLOCK boundaries) or passthrough."""
+    if cfg.detrend == DetrendMode.EHLERS:
+        hp_s = ehlers_highpass_blocked(
+            series, cfg.trend_period, block=FRAME_BLOCK
+        )
+        return hp_s, series - hp_s
+    if cfg.detrend == DetrendMode.NONE:
+        return series, series
+    raise ValueError(
+        f"resumable v757 supports EHLERS/NONE detrend, got {cfg.detrend}"
+    )
+
+
+def _band_spec_resumable(series: jax.Array, cfg: V757Config) -> jax.Array:
+    """One-shot spectra through the canonical block arithmetic: what the
+    online driver's chunked recomputation must (and does, bitwise) equal."""
+    n = cfg.window
+    fb = FRAME_BLOCK
+    hp_s, trend_s = _resumable_hp(series, cfg)
+    lead = series.shape[:-1]
+    t_frames = series.shape[-1] - n + 1
+    nblk = -(-t_frames // fb)
+    seg_len = n + fb - 1
+    want = (nblk - 1) * fb + seg_len
+
+    def segs(x):
+        short = want - x.shape[-1]
+        if short > 0:
+            x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, short)])
+        f = frame_series(x[..., :want], seg_len, fb)
+        return jnp.moveaxis(f, -2, 0)                 # [nblk, ..., seg_len]
+
+    xs = (segs(series), segs(hp_s), segs(trend_s))
+
+    def block(t):
+        s = _resumable_block_spec(t[0], t[1], t[2], cfg)
+        return jnp.real(s), jnp.imag(s)  # axon: no complex transpose
+
+    re, im = jax.lax.map(block, xs)                    # [nblk, ..., fb, K]
+
+    def flat(x):
+        x = jnp.moveaxis(x, 0, -3)
+        return x.reshape(*lead, nblk * fb, x.shape[-1])[..., :t_frames, :]
+
+    return jax.lax.complex(flat(re), flat(im))
 
 
 @partial(jax.jit, static_argnames=("cfg", "hop"))
@@ -107,6 +284,12 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
     from wavespec_tpu.kernels.sliding_dft import (
         sliding_band_spec, taper_harmonics, tapered_dft_of,
     )
+
+    if cfg.resumable:
+        if hop != 1:
+            raise ValueError("resumable v757 requires hop=1")
+        spec = _band_spec_resumable(series.astype(jnp.float32), cfg)
+        return _cands_and_gd(spec, cfg)
 
     want_sliding = (
         cfg.sliding_spectral
@@ -167,7 +350,27 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
             spec = rfft_band_fused_any(windows, n_bins)
         else:
             spec = rfft_mxu(windows, max_bins=n_bins)[..., :n_bins]
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return _cands_and_gd(spec, cfg)
+
+
+def _cands_and_gd(spec: jax.Array, cfg: V757Config):
+    """Candidates + group delay from band spectra ``[..., T, n_bins]``.
+
+    Strictly per-frame (row top-k, elementwise phase, bin-axis diffs), so
+    slicing frame rows out of a longer run and feeding them here yields
+    bitwise-identical values — the online driver leans on this to share
+    the code with the one-shot path.
+    """
+    n = cfg.window
+    k_min, k_max = band_indices(n, cfg.min_period, cfg.max_period)
+    n_bins = spec.shape[-1]
+    # Each square pinned to its own rounding (optimization_barrier): CPU
+    # XLA otherwise forms re*re + im*im into an FMA or not depending on
+    # the surrounding fusion, which broke the online driver's bitwise
+    # slot_power parity between [r, K] and [T, K] program shapes.
+    power = jax.lax.optimization_barrier(
+        jnp.real(spec) * jnp.real(spec)
+    ) + jax.lax.optimization_barrier(jnp.imag(spec) * jnp.imag(spec))
 
     if cfg.n_candidates == 0:
         # Reference-exact: every in-band bin, ascending index (`:3505-3516`).
@@ -269,8 +472,7 @@ def _v757_tail(
     ones (tests/test_v757_tail_pallas.py) — the kernel's sequential
     biquad recurrence is, if anything, closer to the reference's per-bar
     loop than the associative-scan formulation."""
-    n_slots = cfg.tracker.n_slots
-    cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx = spectral
+    cand_period = spectral[0]
     t_frames = cand_period.shape[-2]
     lead = series.shape[:-1]
 
@@ -285,6 +487,39 @@ def _v757_tail(
         for k in (2, 1)
     ]
     price_prev = jnp.concatenate(prev, axis=-1)  # [..., 2]
+    out, _ = _v757_tail_core(
+        newest, price_prev, spectral, slots, cfg, hop
+    )
+    return out
+
+
+def _v757_tail_core(
+    newest: jax.Array,        # [..., T] frame-aligned price
+    price_prev: jax.Array,    # [..., 2] the two prices before frame 0
+    spectral, slots, cfg: V757Config, hop: int,
+    init: dict | None = None,
+    return_state: bool = False,
+):
+    """`_v757_tail` body with resumable state plumbing.
+
+    `init` resumes every tail machine from a prior call's returned state
+    (second element when `return_state=True`) — the reference keeps all
+    of this in persistent globals across `OnCalculate` ticks
+    (`pla-kalman.mq5:966-986,1415-1530`). The state dict is
+    backend-specific (the driver lives on one backend): CPU carries the
+    XLA primitives' states (`biquad`/`eta`/`ff`/`kalman` + `price_hist`),
+    a real device carries the tail kernel's packed state (`pallas` +
+    `price_hist`). Chunked == one-shot bitwise on each backend (the
+    primitives' own pinned standard).
+    """
+    n_slots = cfg.tracker.n_slots
+    cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx = spectral
+    t_frames = cand_period.shape[-2]
+    lead = newest.shape[:-1]
+    if (init is not None or return_state) and lead:
+        raise NotImplementedError(
+            "resumable tail state supports single-series only"
+        )
     # one-hot pick, NOT take_along_axis: the general gather this lowers
     # to on TPU measured 4.99 ms at [64, 512, 230] -> [.., 12] vs 63 us
     # for the one-hot reduce (ops/gather.py), bitwise identical. gd is
@@ -296,13 +531,19 @@ def _v757_tail(
         gd, jnp.clip(slots["slot_fft_index"] - gd_lo, 0, gd.shape[-1] - 1)
     )
 
+    state: dict | None = None
     if jax.default_backend() != "cpu":
         from wavespec_tpu.kernels.v757_tail_pallas import v757_tail_pallas
 
         tail = v757_tail_pallas(
             newest, price_prev, slots["slot_period"], slots["slot_valid"],
             gd_at_slot, cfg, hop,
+            init=None if init is None else init["pallas"],
+            return_state=return_state,
         )
+        if return_state:
+            tail, kstate = tail
+            state = {"pallas": kstate}
         cycle_vals = tail["cycle_values"]
         color = tail["color"]
         eta_raw = tail["eta_raw"]
@@ -317,13 +558,24 @@ def _v757_tail(
         # write 0 while y[i-1] passes through (`:3578-3588` else branch).
         periods_ts = jnp.swapaxes(slots["slot_period"], -1, -2)  # [.., S, T]
         valid_ts = jnp.swapaxes(slots["slot_valid"], -1, -2)
-        cycle_vals = bandpass_cycle(
+        bq = bandpass_cycle(
             jnp.broadcast_to(
                 newest[..., None, :], (*lead, n_slots, t_frames)
             ),
             periods_ts, cfg.bandwidth, valid=valid_ts,
             price_prev=price_prev[..., None, :], zero_first=0,
+            # The sequential recursion is the bitwise-resumable form
+            # (the associative scan regroups with length; see
+            # filters.biquad); the driver and the resumable one-shot
+            # must use the same one.
+            sequential=cfg.resumable,
+            y_prev=None if init is None else init["biquad"],
+            return_state=return_state,
         )  # [..., S, T]
+        if return_state:
+            cycle_vals, bq_state = bq
+        else:
+            cycle_vals, bq_state = bq, None
         cycle_vals = jnp.swapaxes(cycle_vals, -1, -2)  # [..., T, S]
         cycle_vals = jnp.where(slots["slot_valid"], cycle_vals, 0.0)
 
@@ -340,7 +592,13 @@ def _v757_tail(
                       # therefore the phase-extremum ETA) for periods > ~252.
                       lag_buffer=max(64, int(cfg.max_period / 4.0) + 2)),
             valid=valid_ts,
+            init=None if init is None else init["eta"],
+            return_state=return_state,
         )
+        if return_state:
+            eta, eta_state = eta
+        else:
+            eta_state = None
         color = jnp.swapaxes(eta["color"], -1, -2)         # [..., T, S]
         eta_raw = jnp.swapaxes(eta["eta_raw"], -1, -2)
         eta_display = jnp.swapaxes(eta["eta_display"], -1, -2)
@@ -350,17 +608,34 @@ def _v757_tail(
             slots["slot_valid"], jnp.where(color > 0.5, 1.0, -1.0), 0.0
         )
         ff_fn = lambda st, er, pp, vv: followfirst_signals(
-            st, er, pp, vv, cfg.followfirst
+            st, er, pp, vv, cfg.followfirst,
+            init=None if init is None else init["ff"],
+            return_state=return_state,
         )
         for _ in range(len(lead)):
             ff_fn = jax.vmap(ff_fn)
         ff = ff_fn(
             states, eta_raw, slots["slot_period"], slots["slot_valid"]
         )
-        if cfg.enable_kalman:
-            kalman_out, _ = kalman4d_filter(newest, cfg.kalman)
+        if return_state:
+            ff, ff_state = ff
         else:
-            kalman_out = None
+            ff_state = None
+        if cfg.enable_kalman:
+            kalman_out, k_tail = kalman4d_filter(
+                newest, cfg.kalman,
+                init=None if init is None else init["kalman"],
+                return_state=return_state,
+            )
+        else:
+            kalman_out, k_tail = None, None
+        if return_state:
+            state = {
+                "biquad": bq_state,
+                "eta": eta_state,
+                "ff": ff_state,
+                "kalman": k_tail,
+            }
 
     # leak ETA buffers (`PopulateLeakBuffers`, `:2290-2357`)
     # leak buffers go through CalculateScientificETASeconds, which indexes
@@ -394,7 +669,11 @@ def _v757_tail(
     # 6) Kalman 4D over the frame-aligned price
     if cfg.enable_kalman:
         out["kalman"] = kalman_out
-    return out
+    if return_state:
+        state["price_hist"] = jnp.concatenate(
+            [price_prev, newest], axis=-1
+        )[..., -2:]
+    return out, state
 
 
 @partial(jax.jit, static_argnames=("cfg", "hop"))
@@ -527,13 +806,14 @@ def run_v757_batch_sharded(
 
     out_spec = shd.PartitionSpec(axis, None, None)
     # spans are static python metadata — compute once from shapes.
-    # check_vma=False: the tracker/ETA scans carry replicated zero-init
-    # state that becomes shard-varying after one step, which the varying-
-    # manual-axes checker rejects; the computation itself is per-shard
-    # pure data parallelism with no collectives, so the check is moot.
+    # check_vma stays ON (the default): the tracker/ETA/Kalman scans
+    # pvary-promote their replicated zero-init carries to the data's
+    # varying-manual-axes set (utils.vma.pvary_like), the same treatment
+    # `fused_dft.out_struct` gives pallas outputs — round 3 found a latent
+    # production crash that only this checker would have caught
+    # (docs/ROUND3.md), so the flagship batch path must not opt out.
     packed = jax.shard_map(
         lambda b: local(b)[0], mesh=mesh, in_specs=spec, out_specs=out_spec,
-        check_vma=False,
     )(series_batch)
     spans = _v757_spans(cfg, hop)
     if not transfer:
