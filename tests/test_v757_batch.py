@@ -133,3 +133,30 @@ def test_v757_batch_symbol_chunking_matches_unchunked():
             np.testing.assert_allclose(
                 got[k], want[k], rtol=1e-6, atol=1e-6, err_msg=k
             )
+
+
+def test_v757_batch_public_wrapper_matches_private_packed():
+    """bench.py's chain drives `_v757_batch_packed` on-device (the public
+    `run_v757_batch` is host-level numpy I/O and cannot ride inside a
+    jitted dependent chain); this gate pins the wrapper — packing layout,
+    span bookkeeping, dtype/bool/int restore — to the private path, so a
+    wrapper regression cannot hide from the benchmark (VERDICT r3 #8)."""
+    import jax.numpy as jnp
+
+    from wavespec_tpu.pipeline.v757 import (
+        _unpack_transfer, _v757_batch_packed, _v757_spans,
+    )
+
+    cfg = V757Config(window=256, min_period=18.0, max_period=52.0,
+                     trend_period=128, n_candidates=8)
+    batch = make_batch(4, 256 + 50, seed=7)
+    public = run_v757_batch(batch, cfg, hop=1)
+    packed, spans = _v757_batch_packed(jnp.asarray(batch), cfg, 1)
+    private = _unpack_transfer(np.asarray(packed), spans)
+    assert set(public) == set(private)
+    for k in public:
+        assert public[k].dtype == private[k].dtype, k
+        np.testing.assert_array_equal(public[k], private[k], err_msg=k)
+    # the sharded path's independently-computed spans agree with the
+    # pack's own layout (they must: one is static metadata, one is traced)
+    assert spans == _v757_spans(cfg, 1)
