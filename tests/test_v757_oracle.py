@@ -215,3 +215,144 @@ def test_default_config_divergence_dense_band_quantified():
     tail = ours["slot_period"][-50:][ours["slot_valid"][-50:]]
     assert np.any(np.abs(tail - 24.0) <= 1.5), np.unique(np.round(tail))
     assert np.any(np.abs(tail - 40.0) <= 2.0), np.unique(np.round(tail))
+
+
+def test_reference_default_window_16384_matches_oracle():
+    """Bar-exact oracle gate at the v7.57 DEFAULT window 16384
+    (`Legacy/WaveSpecZZ_1.0.3-pla-kalman.mq5:801` — the shipped input;
+    VERDICT r3 item 3). The [18, 52]-bar band holds 595 bins at this
+    window, so reference-exact mode (all-bin candidates, sequential
+    in-frame matching) exercises the tracker at ~60x the window-256
+    candidate density; capacity is sized to hold the reference's
+    unbounded-append worst case."""
+    window, n = 16384, 16384 + 150
+    t = np.arange(n)
+    rng = np.random.default_rng(7)
+    series = (
+        100.0
+        + np.cumsum(0.03 * rng.standard_normal(n))
+        + 1.5 * np.sin(2 * np.pi * t / 24.0)
+        + 1.0 * np.sin(2 * np.pi * t / 40.0)
+    )
+    oracle = run_oracle(
+        series, window=window, min_period=18.0, max_period=52.0,
+        trend_period=1024, window_type="blackman", bandwidth=0.5,
+        seconds_per_bar=60.0,
+    )
+    sl = slice(window - 1, None)
+    oracle = {k: v[sl] for k, v in oracle.items()}
+    cfg = V757Config(
+        window=window, min_period=18.0, max_period=52.0, trend_period=1024,
+        taper=WindowType.BLACKMAN, detrend=DetrendMode.EHLERS,
+        n_candidates=0,
+        tracker=TrackerConfig(capacity=1024, sequential_match=True),
+        seconds_per_bar=60.0, enable_kalman=False,
+    )
+    ours = run_v757(series.astype(np.float32), cfg, hop=1)
+    np.testing.assert_array_equal(ours["slot_valid"], oracle["active"])
+    np.testing.assert_array_equal(ours["states"], oracle["states"])
+    np.testing.assert_allclose(
+        ours["slot_period"], oracle["period"], rtol=1e-5, atol=1e-5
+    )
+    scale = max(1.0, np.abs(oracle["eta_raw"]).max())
+    np.testing.assert_allclose(
+        ours["eta_raw"], oracle["eta_raw"], atol=5e-3 * scale
+    )
+    cyc_scale = np.abs(oracle["cycle"]).max()
+    np.testing.assert_allclose(
+        ours["cycle_values"], oracle["cycle"], atol=2e-4 * max(cyc_scale, 1.0)
+    )
+
+
+def test_window_1024_divergence_attributed_to_matcher_order():
+    """Attribution of the shipped-defaults window-1024 divergence
+    (VERDICT r3 item 4): it is matcher-ORDER semantics, not f32
+    numerics. Two pinned facts on the gate series:
+
+    (a) reference-exact semantics (all-bin candidates, sequential
+        in-frame matching) with our f32 spectral stage reproduce the
+        float64 NumPy oracle BAR-EXACT at window 1024 — activity, states
+        and periods all match, so the f32 spectra flip nothing even at
+        37-bins-per-tolerance density;
+    (b) feeding the oracle's own float64 spectra (identical inputs, no
+        f32 anywhere upstream) through the default vectorized order-free
+        matcher still yields the same ~30%-median per-slot period delta
+        — the divergence survives infinite spectral precision, so it is
+        entirely the documented in-frame period-drag semantics the
+        order-free matcher deliberately drops (analyze/trackers.py).
+    """
+    window, n = 1024, 1524
+    t = np.arange(n)
+    rng = np.random.default_rng(7)
+    series = (
+        100.0
+        + np.cumsum(0.03 * rng.standard_normal(n))
+        + 1.5 * np.sin(2 * np.pi * t / 24.0)
+        + 1.0 * np.sin(2 * np.pi * t / 40.0)
+    )
+    oracle = run_oracle(
+        series, window=window, min_period=18.0, max_period=52.0,
+        trend_period=1024, window_type="blackman", bandwidth=0.5,
+        seconds_per_bar=60.0,
+    )
+    sl = slice(window - 1, None)
+    oracle = {k: v[sl] for k, v in oracle.items()}
+
+    # (a) reference-exact semantics, f32 spectra: bar-exact
+    cfg = V757Config(
+        window=window, min_period=18.0, max_period=52.0, trend_period=1024,
+        taper=WindowType.BLACKMAN, detrend=DetrendMode.EHLERS,
+        n_candidates=0,
+        tracker=TrackerConfig(capacity=128, sequential_match=True),
+        seconds_per_bar=60.0, enable_kalman=False,
+    )
+    ours = run_v757(series.astype(np.float32), cfg, hop=1)
+    np.testing.assert_array_equal(ours["slot_valid"], oracle["active"])
+    np.testing.assert_array_equal(ours["states"], oracle["states"])
+    np.testing.assert_allclose(
+        ours["slot_period"], oracle["period"], rtol=1e-5, atol=1e-5
+    )
+
+    # (b) float64 oracle spectra -> default vectorized matcher: the
+    # divergence band persists unchanged (same band the defaults gate
+    # pins with f32 spectra), so precision is not the cause.
+    import jax.numpy as jnp
+
+    from tests.oracle_v757 import _apply_window
+    from wavespec_tpu.analyze.trackers import track_frames
+
+    w = window
+    wf = 2.0 * np.pi / 1024
+    alpha = (1 - np.sin(wf)) / np.cos(wf)
+    c = (1 - alpha) / 2
+    k_min = int(np.ceil(w / 52.0))
+    k_max = int(w // 18)
+    cands = []
+    for i in range(w - 1, n):
+        win = series[i - w + 1 : i + 1].copy()
+        tr = np.empty(w)
+        tr[0] = c * (win[0] + win[0])
+        for j2 in range(1, w):
+            tr[j2] = c * (win[j2] + win[j2 - 1]) + alpha * tr[j2 - 1]
+        det = _apply_window(win - tr, "blackman")
+        sp = np.fft.rfft(det)
+        power = (sp.real ** 2 + sp.imag ** 2)[: w // 2]
+        band = power[k_min : min(k_max + 1, w // 2)]
+        order = np.argsort(-band, kind="stable")[:24]
+        cands.append((w / (order + k_min).astype(np.float64),
+                      band[order], order + k_min))
+    cp = np.stack([x[0] for x in cands]).astype(np.float32)
+    cw = np.stack([x[1] for x in cands]).astype(np.float32)
+    ci = np.stack([x[2] for x in cands]).astype(np.int32)
+    outs, _ = track_frames(
+        jnp.asarray(cp), jnp.asarray(cw), jnp.asarray(ci),
+        jnp.asarray(cw > 0), cfg=TrackerConfig(),
+    )
+    sv = np.asarray(outs["slot_valid"])
+    spd = np.asarray(outs["slot_period"])
+    activity = (sv == oracle["active"]).mean()
+    assert activity >= 0.97, activity
+    both_valid = sv & oracle["active"]
+    pd = np.abs(spd[both_valid] - oracle["period"][both_valid])
+    pd = pd / np.maximum(oracle["period"][both_valid], 1e-9)
+    assert 0.1 <= np.median(pd) <= 0.45, np.median(pd)
