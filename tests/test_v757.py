@@ -98,10 +98,13 @@ def test_v757_no_repaint():
 
 
 def test_pack_transfer_roundtrips_large_uids():
-    """slot_uid rides the single packed f32 transfer as a BITCAST lane: a
-    value cast would round uids above 2^24 (f32 spacing 2). Round-trip
-    values straddling and far beyond that limit, plus denormal-range
-    small ints."""
+    """slot_uid rides the single packed f32 transfer as TWO exact
+    value-cast rows (v >> 12, v & 0xFFF): one value cast would round uids
+    above 2^24 (f32 spacing 2), and a BITCAST lane flushes small ints to
+    zero whenever XLA fuses it with arithmetic rows (chip-reproduced: the
+    online driver's resumed steps returned all-zero slot_uid). Round-trip
+    values straddling and far beyond 2^24 up to int32 max, plus small
+    ints (denormal bit patterns under the old bitcast)."""
     from wavespec_tpu.pipeline.v757 import _pack_transfer, _unpack_transfer
 
     uids = np.array([[1, 2, 3], [2**24 - 1, 2**24 + 1, 2**24 + 3],

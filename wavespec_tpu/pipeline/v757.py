@@ -822,15 +822,20 @@ def run_v757_batch_sharded(
 
 
 def _v757_spans(cfg: V757Config, hop: int) -> dict:
-    """Static pack layout (field -> row-block index) via shape-only tracing."""
+    """Static pack layout (field -> row-block span) via shape-only tracing.
+    Must mirror `_pack_transfer`'s walk exactly (sorted keys, int columns
+    occupy two blocks)."""
     shapes = jax.eval_shape(
         lambda s: _v757_device(s, cfg, hop),
         jax.ShapeDtypeStruct((cfg.window + 7 * hop,), jnp.float32),
     )
-    return {
-        k: (i, i + 1, k in _SCALAR_COLS)
-        for i, k in enumerate(sorted(shapes))
-    }
+    spans = {}
+    blk = 0
+    for k in sorted(shapes):
+        width = 2 if k in _INT_COLS else 1
+        spans[k] = (blk, blk + width, k in _SCALAR_COLS)
+        blk += width
+    return spans
 
 
 _INT_COLS = frozenset({"slot_uid"})
@@ -848,47 +853,60 @@ def _pack_transfer(out: dict):
     the 20 ms B=64 call). Scalar fields broadcast across the S minor so
     every block shares one shape; the waste is 2 of ~15 blocks.
 
-    Integer columns (slot_uid) ride as BITCAST f32 lanes — a value cast
-    would silently round uids above 2^24 (f32 spacing is 2 there, and
-    next_uid grows unboundedly: n_candidates=0 mode can allocate up to
-    `capacity` trackers per frame); the bitcast round-trips every int32
-    value exactly (no arithmetic touches the lanes, so denormal bit
-    patterns survive the copy).
+    Integer columns (slot_uid) ride as TWO exact value-cast f32 rows,
+    (v >> 12) and (v & 0xFFF) — both < 2^20, exactly representable. A
+    single value cast would round values above 2^24 (f32 spacing is 2
+    there, and next_uid grows unboundedly: n_candidates=0 mode can
+    allocate up to `capacity` trackers per frame). A BITCAST lane is NOT
+    safe: small ints are denormal f32 bit patterns, and whenever XLA
+    fuses the bitcast'd rows with arithmetic-producing rows the TPU
+    flushes them to exact zeros — chip-reproduced: a standalone bitcast
+    round-trips 1..15, the same bitcast concatenated with `y * 2.0` in
+    one program returns all zeros. The one-shot path merely got lucky
+    with fusion; the online driver's resumed-step program did not (its
+    slot_uid rows came back 0). Non-negative int32 only (slot_uid >= 1).
     """
     n_slots = next(
         v.shape[-1] for k, v in out.items() if k not in _SCALAR_COLS
     )
     rows = []
     spans = {}
+    blk = 0
     # SORTED keys: the layout must be key-deterministic — `_v757_spans`
     # recomputes it independently for the sharded path, and a pytree
     # round-trip (vmap/jit) sorts dict keys anyway, so insertion order
     # is not stable across call paths.
-    for i, (k, v) in enumerate(sorted(out.items())):
+    for k, v in sorted(out.items()):
         if k in _SCALAR_COLS:
             v2 = jnp.broadcast_to(v[..., None], (*v.shape, n_slots))
         else:
             v2 = v
-        spans[k] = (i, i + 1, k in _SCALAR_COLS)
         if k in _INT_COLS:
-            rows.append(jax.lax.bitcast_convert_type(
-                v2.astype(jnp.int32), jnp.float32))
+            vi = v2.astype(jnp.int32)
+            rows.append((vi >> 12).astype(jnp.float32))
+            rows.append((vi & 0xFFF).astype(jnp.float32))
+            spans[k] = (blk, blk + 2, k in _SCALAR_COLS)
+            blk += 2
         else:
             rows.append(v2.astype(jnp.float32))
+            spans[k] = (blk, blk + 1, k in _SCALAR_COLS)
+            blk += 1
     return jnp.concatenate(rows, axis=-2), spans
 
 
 def _unpack_transfer(packed: np.ndarray, spans: dict) -> dict[str, np.ndarray]:
     """Host-side split of `_pack_transfer`'s buffer; exact dtype restore."""
-    n_fields = len(spans)
-    t_frames = packed.shape[-2] // n_fields
+    n_blocks = max(hi for (_lo, hi, _s) in spans.values())
+    t_frames = packed.shape[-2] // n_blocks
     result = {}
-    for k, (lo, _hi, scalar) in spans.items():
-        arr = packed[..., lo * t_frames : (lo + 1) * t_frames, :]
+    for k, (lo, hi, scalar) in spans.items():
+        arr = packed[..., lo * t_frames : hi * t_frames, :]
         if k in _BOOL_COLS:
             arr = arr > 0.5
         elif k in _INT_COLS:
-            arr = np.ascontiguousarray(arr).view(np.int32)
+            hi_part = arr[..., :t_frames, :].astype(np.int64)
+            lo_part = arr[..., t_frames:, :].astype(np.int64)
+            arr = ((hi_part << 12) | lo_part).astype(np.int32)
         else:
             arr = np.ascontiguousarray(arr)
         if scalar:
