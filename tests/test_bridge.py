@@ -104,6 +104,7 @@ def test_extract_cycles_async_and_batch():
     bridge.gpu_free_job(jid)
 
 
+@pytest.mark.slow
 def test_template_job():
     preset = ("time: dc(mode=0); extract: window=1024, top_k=2, method=music,"
               " min_period=10, max_period=200, ar_order=10; waves: 2")

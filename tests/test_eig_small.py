@@ -53,6 +53,7 @@ def test_charpoly_matches_numpy():
         np.testing.assert_allclose(got[b], want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_esprit_device_matches_host():
     """VERDICT r1 item 7: the pure-JAX eigensolve must agree with the host
     NumPy eigvals path over noisy planted windows."""
@@ -95,6 +96,7 @@ def test_esprit_is_jittable():
     assert jaxpr is not None  # traces without host round-trips
 
 
+@pytest.mark.slow
 def test_jacobi_pallas_interpret_matches_numpy_and_xla():
     """The single-launch Pallas Jacobi (the MUSIC batch=1 latency path,
     VERDICT r2 #5) must produce the same eigensystem as numpy and the XLA
@@ -147,6 +149,7 @@ def test_jacobi_pallas_rotation_exact_zero_offdiag():
     np.testing.assert_allclose(np.asarray(s)[0, 0], np.sqrt(0.5), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_jacobi_pallas_interpret_decreasing_diagonal():
     """A diagonal matrix in DECREASING order is the minimal end-to-end
     trigger of the y==0/x<0 corner: every round-1 pair hits it, so the
@@ -180,6 +183,7 @@ def test_jacobi_pallas_interpret_toeplitz_bisymmetric():
                                atol=5e-6 * np.abs(ev_n).max())
 
 
+@pytest.mark.slow
 def test_jacobi_pallas_interpret_batch_padding():
     """Batch sizes off the 128-lane tile pad with identity blocks; the
     padded lanes must not perturb real results (B=130 spans two tiles)."""

@@ -165,6 +165,7 @@ def music_cfg(**kw):
     return ExtractConfig(**d)
 
 
+@pytest.mark.slow
 def test_music_perfect_cycles_regime():
     """CHANGELOG 'perfect cycles' regime: ar_order=10, top_k=2."""
     cfg = music_cfg()
@@ -208,6 +209,7 @@ def test_music_with_noise():
     assert np.all(attrs[:, SNR_DB] > 0.0)
 
 
+@pytest.mark.slow
 def test_music_random_walk_background():
     """The realistic feed: cycles on a random-walk price. The internal
     high-pass must keep the drift out of the covariance, and the peak
@@ -225,6 +227,7 @@ def test_music_random_walk_background():
     assert abs(periods[1] - periods[0]) > 5.0
 
 
+@pytest.mark.slow
 def test_music_batch_shape():
     cfg = music_cfg()
     series = planted_series(1024 + 128, [(1.0, 64.0, 0.0)], noise=0.1, seed=5)
@@ -245,6 +248,7 @@ def test_invalid_config_raises():
         ExtractConfig(top_k=9)
 
 
+@pytest.mark.slow
 def test_auto_method_selects_music_when_confident():
     """AUTO: strong sinusoids -> MUSIC records; pure noise -> FFT ridge."""
     cfg = ExtractConfig(window=1024, top_k=2, min_period=10.0, max_period=200.0,
@@ -273,6 +277,7 @@ def test_esprit_frequencies_match_planted():
     np.testing.assert_allclose(got, [30.0, 64.0], rtol=0.05)
 
 
+@pytest.mark.slow
 def test_music_flagship_defaults_on_drifting_feed():
     """Flagship regime (top_k=4, ar_order=10 -> tiny fixed noise subspace)
     on a drifting feed: the eigenvalue-gated noise subspace must prevent
@@ -322,6 +327,7 @@ def test_music_off_grid_weakest_cycle_survives_prerank():
         assert abs(attrs[i, AMPLITUDE] - a) / a < 0.2, (b, attrs[:, AMPLITUDE])
 
 
+@pytest.mark.slow
 def test_bin_to_gidx_table_matches_bruteforce():
     """The merged multi-band grid is NOT globally sorted (frequency
     descends block to block); the static bin->grid-index table used for
@@ -366,6 +372,7 @@ def test_music_single_window_price_level():
     assert any(abs(p - 120.0) / 120.0 < 0.05 for p in per), per
 
 
+@pytest.mark.slow
 def test_music_batch_fast_path_price_level():
     """Batch-path analog of the price-level test: the rolling-STFT fast
     path runs ONE series-level high-pass, which must be first-sample
@@ -419,6 +426,7 @@ def test_esprit_method_flagship_planted_sinusoids():
     assert (live[:, EIGEN_RATIO] > 1.0).all()
 
 
+@pytest.mark.slow
 def test_esprit_method_batch_fast_path_matches_single():
     """The ESPRIT batch fast path (series-level warm high-pass) must agree
     with the per-window path on window 0 (identical cold start there)."""
@@ -443,6 +451,7 @@ def test_esprit_method_ar_order_validation():
         ExtractConfig(window=1024, top_k=4, method=Method.ESPRIT, ar_order=8)
 
 
+@pytest.mark.slow
 def test_esprit_topk_exceeding_true_count():
     """ESPRIT with top_k above the true sinusoid count: the rotation
     operator then has UNPAIRED REAL eigenvalues, which shifted the old
@@ -468,6 +477,7 @@ def test_esprit_topk_exceeding_true_count():
         assert not any(abs(v - mid) / mid < 0.05 for v in f), (fn, f)
 
 
+@pytest.mark.slow
 def test_music_batch_hopped_seeds_match_framed_seeds():
     """The MUSIC batch fast path's ridge seeds may come from the
     overlap-shared hopped DFT (kernels.hopped_dft) instead of a framed

@@ -15,10 +15,12 @@ import jax.numpy as jnp
 
 from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles_batch
 from wavespec_tpu.reconstruct import ReconstructConfig, decode_causal
+import pytest
 
 FIXTURE = Path(__file__).parent / "fixtures" / "golden_extract.npz"
 
 
+@pytest.mark.slow
 def test_golden_extract_parity():
     data = np.load(FIXTURE)
     series = jnp.asarray(data["series"])

@@ -3,6 +3,7 @@
 import numpy as np
 
 from wavespec_tpu import models
+import pytest
 
 
 def series(n=1400, period=64.0):
@@ -11,6 +12,7 @@ def series(n=1400, period=64.0):
             + 0.05 * np.random.default_rng(0).standard_normal(n)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_flagship_preset():
     m = models.flagship(window=1024, hop=64)
     out = m.run(series())

@@ -58,6 +58,7 @@ def _stage_inputs(windows, cfg):
     ],
     ids=["flagship-4096", "small-1024"],
 )
+@pytest.mark.slow
 def test_select_matches_xla_stage(cfg):
     windows = _windows(cfg, n_win=7)
     # XLA reference: the CPU branch of music_candidates.
@@ -77,6 +78,7 @@ def test_select_matches_xla_stage(cfg):
                                   np.asarray(st["step0"]))
 
 
+@pytest.mark.slow
 def test_select_leading_dims_and_padding():
     """Non-multiple-of-tile batches and 3D leading dims round-trip."""
     cfg = ExtractConfig(window=1024, top_k=3, min_period=10.0,

@@ -156,6 +156,7 @@ def test_segmented_preset_auto_overlap():
 # ----------------------------------------------------------------- drivers
 
 
+@pytest.mark.slow
 def test_batch_warmup_writes_cache(tmp_path):
     ecfg = small_ecfg(method=Method.MUSIC, ar_order=10)
     rcfg = ReconstructConfig()
@@ -328,6 +329,7 @@ def test_fetcher_long_history_chunked(tmp_path):
     assert np.abs(np.median(per) - 1024 / round(1024 / 80)) < 2.0
 
 
+@pytest.mark.slow
 def test_chunked_batch_matches_unchunked_music_on_random_walk():
     """MUSIC's batch fast path runs its preconditioning high-passes over
     the UNFRAMED series; without the warmup lead, chunks 2+ restarted

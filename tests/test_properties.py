@@ -6,6 +6,7 @@ import jax.numpy as jnp
 from wavespec_tpu import extract as ex
 from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles
 from wavespec_tpu.reconstruct import ReconstructConfig, quality_weight
+import pytest
 
 
 def cfg(method=Method.FFT_RIDGE, **kw):
@@ -19,6 +20,7 @@ def planted(n=1024, period=64.0, amp=2.0, phase=0.3, shift=0):
     return (amp * np.sin(2 * np.pi * t / period + phase)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_amplitude_scaling_linearity():
     """Scaling the input scales amplitude; period/freq/energy_ratio hold."""
     for method in (Method.FFT_RIDGE, Method.MUSIC):
@@ -66,6 +68,7 @@ def test_quality_weight_monotonic_in_snr():
         prev = w
 
 
+@pytest.mark.slow
 def test_attrs_bounded_fields():
     """Bounded fields stay in range on noisy inputs, both methods."""
     r = np.random.default_rng(1)
@@ -82,6 +85,7 @@ def test_attrs_bounded_fields():
         assert (a[valid, ex.PERIOD] >= 0).all()
 
 
+@pytest.mark.slow
 def test_config_matrix_smoke():
     """Shape/validity smoke across the legal config space: every
     combination must compile, return [top_k, 15] attrs, and keep

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 
 from wavespec_tpu import extract as ex
 from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles_batch
+import pytest
+
 from wavespec_tpu.reconstruct import (
     ReconstructConfig,
     decode_causal,
@@ -129,6 +131,7 @@ def test_render_final_forecast_marker():
     np.testing.assert_allclose(fc[148], wq * np.sin(0.5), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_end_to_end_extract_then_render():
     """Full slice: series -> batch extract -> final render reproduces the
     planted wave shape (SURVEY §7 step 2 milestone)."""

@@ -7,8 +7,10 @@ import jax.numpy as jnp
 
 from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles
 from wavespec_tpu.pipeline.v757 import V757Config, run_v757
+import pytest
 
 
+@pytest.mark.slow
 def test_music_extract_window_16384_recovers_planted():
     n = 16384
     t = np.arange(n)

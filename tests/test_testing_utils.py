@@ -5,8 +5,10 @@ import jax.numpy as jnp
 
 from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles
 from wavespec_tpu.testing import planted_cycles, random_walk_price, verify_extraction
+import pytest
 
 
+@pytest.mark.slow
 def test_planted_and_verify_roundtrip():
     series, cycles = planted_cycles(2048, [(2.0, 64.0, 0.3), (1.0, 30.0, 1.0)],
                                     noise=0.05, seed=1)

@@ -78,6 +78,7 @@ def test_v757_batch_hop_and_modes():
     assert_batch_matches_single(outb, batch, cfg, hop=3, symbols=range(3))
 
 
+@pytest.mark.slow
 def test_v757_batch_sharded_64_symbols():
     """VERDICT round-2 'done' bar: CPU-8-device-mesh parity at >= 64
     symbols — every symbol's sharded outputs equal its run_v757."""

@@ -74,6 +74,7 @@ def assert_bitwise(got: dict, want: dict):
 CHUNKS = [100, W - 100 + 67, 1, 1, 59, 128, 3, 97]
 
 
+@pytest.mark.slow
 def test_online_matches_oneshot_default():
     cfg = V757Config(**BASE)
     s = series(W + sum(CHUNKS) - W)
@@ -84,6 +85,7 @@ def test_online_matches_oneshot_default():
     assert_bitwise(drv.buffers(), want)
 
 
+@pytest.mark.slow
 def test_online_matches_oneshot_sliding():
     """Force the sliding block path on CPU — the exact structure the
     real-chip driver uses (chip parity is checked by the verify drive)."""
@@ -107,6 +109,7 @@ def test_online_one_bar_at_a_time():
     assert_bitwise(drv.buffers(), run_v757(s, cfg))
 
 
+@pytest.mark.slow
 def test_online_all_bins_reference_mode():
     """n_candidates=0 (reference-exact all-bins candidate scan)."""
     cfg = V757Config(**{**BASE, "n_candidates": 0})
@@ -115,6 +118,7 @@ def test_online_all_bins_reference_mode():
     assert_bitwise(drv.buffers(), run_v757(s, cfg))
 
 
+@pytest.mark.slow
 def test_online_hybrid_eta_no_kalman_nodetrend():
     cfg = V757Config(**{**BASE, "eta_mode": EtaMode.HYBRID,
                         "enable_kalman": False,
@@ -127,6 +131,7 @@ def test_online_hybrid_eta_no_kalman_nodetrend():
     assert_bitwise(out, run_v757(s, cfg))
 
 
+@pytest.mark.slow
 def test_online_no_repaint():
     """Emitted rows never change when more bars arrive."""
     cfg = V757Config(**BASE)

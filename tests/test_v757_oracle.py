@@ -217,6 +217,7 @@ def test_default_config_divergence_dense_band_quantified():
     assert np.any(np.abs(tail - 40.0) <= 2.0), np.unique(np.round(tail))
 
 
+@pytest.mark.slow
 def test_reference_default_window_16384_matches_oracle():
     """Bar-exact oracle gate at the v7.57 DEFAULT window 16384
     (`Legacy/WaveSpecZZ_1.0.3-pla-kalman.mq5:801` — the shipped input;
