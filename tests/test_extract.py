@@ -494,3 +494,52 @@ def test_music_batch_hopped_seeds_match_framed_seeds():
     assert a.shape == b.shape
     # amplitude/freq/period/phase/eta of every valid pick
     np.testing.assert_allclose(a[..., :6], b[..., :6], rtol=1e-4, atol=1e-5)
+
+
+def test_band_precondition_phase_decimated_matches_framed():
+    """`band_precondition_windows` (phase-decimated series framing) must
+    be BITWISE equal to the frame-then-decimate oracle
+    (`_band_precondition_windows_framed`): same box sample sets, same
+    per-box mean, framing is slices. Sweeps decimations (incl. d=1 and
+    d>hop), hops with every gcd relationship, tiny nwin < g, and a
+    leading batch dim."""
+    import dataclasses
+
+    from wavespec_tpu.analyze.music import (
+        _band_precondition_windows_framed,
+        band_precondition_windows,
+    )
+
+    rng = np.random.default_rng(7)
+    base = music_cfg(window=256, min_period=9.0, max_period=60.0)
+    cases = [
+        (None, 0, 64, 17),   # auto band plan, flagship-style hop
+        (None, 0, 1, 9),     # hop=1 (g = d)
+        (None, 0, 15, 5),    # hop sharing partial gcd with d
+        (3, 1, 64, 12),      # forced single band, d=3
+        (20, 1, 64, 3),      # d=20, g=5 > nwin=3 (empty phases)
+        (1, 1, 33, 4),       # d=1 passthrough
+        (8, 1, 12, 7),       # d > hop, gcd=4
+    ]
+    for dec, bands, hop, nwin in cases:
+        cfg = dataclasses.replace(
+            base, music_decimation=dec or 0, music_bands=bands
+        )
+        n_bars = cfg.window + (nwin - 1) * hop + 3  # +3: nwin from length
+        x = jnp.asarray(rng.standard_normal(n_bars), jnp.float32)
+        got = band_precondition_windows(x, cfg, hop)
+        want = _band_precondition_windows_framed(x, cfg, hop)
+        assert len(got) == len(want)
+        for gb, wb in zip(got, want):
+            assert gb.shape == wb.shape, (dec, bands, hop, nwin)
+            np.testing.assert_array_equal(
+                np.asarray(gb), np.asarray(wb),
+                err_msg=f"case {(dec, bands, hop, nwin)}",
+            )
+    # leading batch dim
+    cfg = dataclasses.replace(base, music_decimation=0, music_bands=0)
+    xb = jnp.asarray(rng.standard_normal((3, 256 + 6 * 64)), jnp.float32)
+    got = band_precondition_windows(xb, cfg, 64)
+    want = _band_precondition_windows_framed(xb, cfg, 64)
+    for gb, wb in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(gb), np.asarray(wb))

@@ -185,16 +185,78 @@ def band_precondition_windows(series: jax.Array, cfg, hop: int):
     period ~1.5*hi. `series` should already carry the main MUSIC
     high-pass (the preconditioning cascade is main-hp then band-hp).
 
+    Decimation ALSO happens at series level: framing the full-rate
+    series and box-decimating every window ([..., R, nwin, n] — 25 MB at
+    the flagship batch, and the largest single block of the MUSIC chip
+    budget: 549 of 1557 us at 512 windows) is replaced by decimating the
+    series once per box PHASE and framing the decimated series. A
+    window's boxes start at w*hop + (n - n_keep), so only
+    g = d / gcd(d, hop) distinct alignments exist; windows w = r (mod g)
+    frame the phase-r decimated series at stride g*hop/d. Same samples,
+    same per-box mean, framing is slices — bitwise equal to the framed
+    path (`_band_precondition_windows_framed`, kept as the test oracle).
+
     Returns a tuple of per-band stacks [nwin, n_keep_b // d_b] matching
     `music_pseudospectrum`'s `band_windows` parameter.
     """
+    import math
+
+    from wavespec_tpu.extract import frame_series  # circular-safe
+    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_stacked
+
+    n = cfg.window
+    bands = _band_plan(cfg)
+    periods = tuple(max(4, int(1.5 * hi)) for (_, hi, _) in bands)
+    # All R band filters in ONE associative scan (per-row results match
+    # the scalar filter); framing also batches over the band axis.
+    hp_all = ehlers_highpass_detrend_stacked(series, periods)  # [..., R, L]
+    ell = series.shape[-1]
+    nwin = 1 + (ell - n) // hop
+    outs = []
+    for bi, (_, _, d) in enumerate(bands):
+        hp_b = hp_all[..., bi, :]                            # [..., L]
+        if d == 1:
+            outs.append(frame_series(hp_b, n, hop))
+            continue
+        n_keep = (n // d) * d
+        off = n - n_keep
+        ld = n_keep // d
+        g = d // math.gcd(d, hop)
+        hop_d = g * hop // d
+        nw_max = -(-nwin // g)
+        phases = []
+        for r in range(g):
+            nw_r = (nwin - r + g - 1) // g if r < nwin else 0
+            if nw_r == 0:
+                phases.append(jnp.zeros(
+                    (*hp_b.shape[:-1], nw_max, ld), jnp.float32))
+                continue
+            need = ld + (nw_r - 1) * hop_d
+            start = r * hop + off
+            x = jax.lax.slice_in_dim(
+                hp_b, start, start + need * d, axis=-1)
+            dec = jnp.mean(
+                x.reshape(*x.shape[:-1], need, d), axis=-1)
+            fr = frame_series(dec, ld, hop_d)        # [..., nw_r, ld]
+            if nw_r < nw_max:
+                pad = [(0, 0)] * (fr.ndim - 2) + [(0, nw_max - nw_r), (0, 0)]
+                fr = jnp.pad(fr, pad)
+            phases.append(fr)
+        st = jnp.stack(phases, axis=-2)              # [..., nw_max, g, ld]
+        outs.append(st.reshape(
+            *st.shape[:-3], nw_max * g, ld)[..., :nwin, :])
+    return tuple(outs)
+
+
+def _band_precondition_windows_framed(series: jax.Array, cfg, hop: int):
+    """The frame-then-decimate formulation of `band_precondition_windows`
+    (materializes [..., R, nwin, n]) — superseded on the hot path by the
+    phase-decimated framing above, kept as its bitwise test oracle."""
     from wavespec_tpu.extract import frame_series  # circular-safe
     from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_stacked
 
     bands = _band_plan(cfg)
     periods = tuple(max(4, int(1.5 * hi)) for (_, hi, _) in bands)
-    # All R band filters in ONE associative scan (per-row results match
-    # the scalar filter); framing also batches over the band axis.
     hp_all = ehlers_highpass_detrend_stacked(series, periods)  # [..., R, L]
     w_all = frame_series(hp_all, cfg.window, hop)  # [..., R, nwin, n]
     outs = []
