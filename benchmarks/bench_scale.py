@@ -1,6 +1,13 @@
 """Reference-scale runs: window 16384 (v7.57 default, `...pla-kalman.mq5:801`)
 and 32768 (gpu_wip default `:32`) through extract_cycles_batch (MUSIC) and
-run_v757 on the real chip. Records windows/s (VERDICT r1 item 6)."""
+run_v757 on the real chip. Records windows/s (VERDICT r1 item 6).
+
+Round 4: timing goes through bench.py's spread-gated `_chain_rate`
+(chains sized for >= ~100 ms deltas, median of three deltas agreeing
+within 10%, spread reported) — the round-3 "large run-to-run variance"
+at 16384 was the few-ms-delta methodology, not the chip: the same
+computation under the gated method reproduces to a few percent.
+"""
 
 import json
 import sys
@@ -11,6 +18,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
+
+from bench import _chain_rate
 
 
 def main() -> None:
@@ -28,7 +37,9 @@ def main() -> None:
                 + 1.0 * np.sin(2 * np.pi * t / 700)).astype(np.float32)
 
     # --- MUSIC batch at 16384 and 32768 ---
-    for window, nwin, hop in [(16384, 128, 64), (32768, 64, 64)]:
+    # k sized for >= ~100 ms deltas at the historically observed rates
+    # (~90-150k win/s at 16384, ~64k at 32768).
+    for window, nwin, hop, k in [(16384, 128, 64, 128), (32768, 64, 64, 128)]:
         cfg = ExtractConfig(window=window, top_k=4, min_period=9.0,
                             max_period=200.0, method=Method.MUSIC,
                             ar_order=10)
@@ -45,28 +56,11 @@ def main() -> None:
             _, acc = jax.lax.fori_loop(0, iters, body, (s, 0.0))
             return acc
 
-        float(np.asarray(chain(x, 1)))
-        float(np.asarray(chain(x, 6)))
-
-        def leg(iters):
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(np.asarray(chain(x, iters)))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        # min-of-differences lets one glitchy pair win (a 32768-pt run
-        # once read 8x FASTER than 16384); best-of-legs + a monotonicity
-        # retry is stable.
-        for _ in range(5):
-            t1, t6 = leg(1), leg(6)
-            if t6 > t1 * 1.02:
-                break
-        per = (t6 - t1) / 5
+        rate, spread = _chain_rate(chain, x, float(nwin), k=k)
         print(json.dumps({
             "metric": f"music_{window}pt_windows_per_sec_per_chip",
-            "value": round(nwin / per, 1), "unit": "windows/s/chip",
+            "value": round(rate, 1), "unit": "windows/s/chip",
+            "spread_pct": round(spread, 1),
         }), flush=True)
 
     # --- v757 full pipeline at 16384 (throughput incl. scans) ---
@@ -99,21 +93,11 @@ def main() -> None:
         _, acc = jax.lax.fori_loop(0, iters, body, (s, 0.0))
         return acc
 
-    float(np.asarray(chain7(xd, 1)))
-    float(np.asarray(chain7(xd, 5)))
-
-    def run7(iters):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(np.asarray(chain7(xd, iters)))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    per7 = (run7(5) - run7(1)) / 4
+    rate7, spread7 = _chain_rate(chain7, xd, float(frames), k=16)
     print(json.dumps({
         "metric": "v757_16384pt_full_pipeline_bars_per_sec",
-        "value": round(frames / per7, 1), "unit": "bars/s (device)",
+        "value": round(rate7, 1), "unit": "bars/s (device)",
+        "spread_pct": round(spread7, 1),
         "wall_bars_per_sec": round(frames / dt2, 1),
         "first_call_s": round(dt, 1),
     }), flush=True)

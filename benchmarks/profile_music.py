@@ -75,7 +75,7 @@ def main() -> None:
             tot = tot + jnp.sum(st[key].astype(jnp.float32))
         return tot
 
-    def timed(upto):
+    def timed(upto, k):
         @partial(jax.jit, static_argnames=("iters",))
         def chain(s, iters: int):
             def body(_, carry):
@@ -85,25 +85,23 @@ def main() -> None:
             _, acc = jax.lax.fori_loop(0, iters, body, (s, 0.0))
             return acc
 
-        float(np.asarray(chain(x, 1)))
-        float(np.asarray(chain(x, 6)))
+        # spread-gated chain delta (bench._chain_rate): k sized per stage
+        # for >= ~100 ms deltas; median of three deltas within 10%.
+        from bench import _chain_rate
 
-        def leg(iters):
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(np.asarray(chain(x, iters)))
-                best = min(best, time.perf_counter() - t0)
-            return best
+        rate, spread = _chain_rate(chain, x, float(nwin), k=k)
+        return nwin / rate, spread
 
-        return (leg(6) - leg(1)) / 5
-
+    # Production stops only: "peaks"/"ridge" stop the XLA selection chain
+    # (the CPU/test path) and say nothing about the device pipeline, which
+    # routes peaks->ridge->prerank through ONE Pallas launch.
     prev = 0.0
-    for upto in ["hp+frame", "pseudo", "peaks", "ridge", "prerank",
-                 "refine", "fit"]:
-        per = timed(upto)
-        print(f"{upto:>9}: {per*1e3:8.2f} ms cumulative "
-              f"(+{(per-prev)*1e3:7.2f} ms) -> {nwin/per:9.0f} win/s",
+    for upto, k in [("hp+frame", 512), ("pseudo", 160), ("prerank", 72),
+                    ("refine", 64), ("fit", 64)]:
+        per, spread = timed(upto, k)
+        print(f"{upto:>9}: {per*1e3:8.3f} ms cumulative "
+              f"(+{(per-prev)*1e3:7.3f} ms, spread {spread:4.1f}%) "
+              f"-> {nwin/per:9.0f} win/s",
               flush=True)
         prev = per
 
