@@ -252,6 +252,49 @@ def test_ehlers_highpass_stacked_batched():
     np.testing.assert_allclose(stacked[1, 2, 1], want, rtol=1e-6, atol=1e-6)
 
 
+def test_ehlers_highpass_mxu_matches_scan():
+    """The blocked MXU-Toeplitz evaluation of the one-pole high-pass
+    (`ehlers_highpass_detrend_mxu` — the MUSIC preconditioning hot path)
+    must match the associative-scan form to float tolerance at every
+    length class (sub-block, block-multiple, ragged multi-block) and
+    under batch dims. Against a float64 sequential oracle, the MXU form
+    must be at least as accurate as the scan form."""
+    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_mxu
+
+    periods = (38, 107, 300)
+    for n in (100, 256, 777, 4096):
+        x = jnp.asarray(np.cumsum(rng(7).standard_normal(n)), jnp.float32)
+        got = np.asarray(ehlers_highpass_detrend_mxu(x, periods))
+        assert got.shape == (3, n)
+        want = np.asarray(ops.ehlers_highpass_detrend_stacked(x, periods))
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() <= 2e-5 * scale, n
+    # float64 sequential oracle: the matmul grouping must not LOSE accuracy
+    xn = np.cumsum(rng(9).standard_normal(1000))
+    x = jnp.asarray(xn, jnp.float32)
+    x32 = np.asarray(x, np.float64)
+    w = 2 * np.pi / 107
+    alpha = (1 - np.sin(w)) / np.cos(w)
+    c = (1 - alpha) / 2
+    trend = np.zeros(1000)
+    prev_t = 0.0
+    for t in range(1000):
+        prev_t = c * (x32[t] + x32[t - 1 if t else 0]) + alpha * prev_t
+        trend[t] = prev_t
+    want64 = x32 - trend
+    got = np.asarray(ehlers_highpass_detrend_mxu(x, (107,)))[0]
+    scan = np.asarray(ops.ehlers_highpass_detrend(x, 107))
+    err_mxu = np.abs(got - want64).max()
+    err_scan = np.abs(scan - want64).max()
+    assert err_mxu <= max(err_scan * 1.5, 1e-5), (err_mxu, err_scan)
+    # batch dims
+    xb = jnp.asarray(rng(8).standard_normal((2, 4, 256)), jnp.float32)
+    got = np.asarray(ehlers_highpass_detrend_mxu(xb, (32, 64)))
+    assert got.shape == (2, 4, 2, 256)
+    want = np.asarray(ops.ehlers_highpass_detrend_stacked(xb, (32, 64)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_frame_highpassed_rank1_identity_matches_per_window_scan():
     """`extract.frame_highpassed` (series-level filter + alpha^j rank-1
     correction) must equal cold-starting the Ehlers filter inside every

@@ -148,7 +148,7 @@ def esprit_extract(windows: jax.Array, cfg, pre_highpassed: bool = False
         hp_gain_compensate,
         music_hp_period,
     )
-    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
+    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_mxu
     from wavespec_tpu.ops.spectrum import band_indices
 
     n = cfg.window
@@ -161,7 +161,9 @@ def esprit_extract(windows: jax.Array, cfg, pre_highpassed: bool = False
         # music_extract (a price-level init step otherwise dominates the
         # covariance).
         windows = windows - windows[..., :1]
-        windows = ehlers_highpass_detrend(windows, hp_period)
+        windows = ehlers_highpass_detrend_mxu(
+            windows, (hp_period,)
+        )[..., 0, :]
 
     psi, d, cov_eigvals = _signal_subspace_rotation(windows, cfg)
     lam = eigvals_small(psi)

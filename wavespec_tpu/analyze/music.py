@@ -202,14 +202,15 @@ def band_precondition_windows(series: jax.Array, cfg, hop: int):
     import math
 
     from wavespec_tpu.extract import frame_series  # circular-safe
-    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_stacked
+    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_mxu
 
     n = cfg.window
     bands = _band_plan(cfg)
     periods = tuple(max(4, int(1.5 * hi)) for (_, hi, _) in bands)
-    # All R band filters in ONE associative scan (per-row results match
-    # the scalar filter); framing also batches over the band axis.
-    hp_all = ehlers_highpass_detrend_stacked(series, periods)  # [..., R, L]
+    # All R band filters as blocked MXU Toeplitz matmuls (the stacked
+    # associative scan is launch-bound on the v5e: 212 us vs 5 us at the
+    # flagship 37k-sample series; ~7e-6 relative agreement).
+    hp_all = ehlers_highpass_detrend_mxu(series, periods)  # [..., R, L]
     ell = series.shape[-1]
     nwin = 1 + (ell - n) // hop
     outs = []
@@ -253,11 +254,11 @@ def _band_precondition_windows_framed(series: jax.Array, cfg, hop: int):
     (materializes [..., R, nwin, n]) — superseded on the hot path by the
     phase-decimated framing above, kept as its bitwise test oracle."""
     from wavespec_tpu.extract import frame_series  # circular-safe
-    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_stacked
+    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_mxu
 
     bands = _band_plan(cfg)
     periods = tuple(max(4, int(1.5 * hi)) for (_, hi, _) in bands)
-    hp_all = ehlers_highpass_detrend_stacked(series, periods)  # [..., R, L]
+    hp_all = ehlers_highpass_detrend_mxu(series, periods)  # [..., R, L]
     w_all = frame_series(hp_all, cfg.window, hop)  # [..., R, nwin, n]
     outs = []
     for bi, (_, _, d) in enumerate(bands):
@@ -311,7 +312,7 @@ def music_pseudospectrum(windows: jax.Array, cfg, band_windows=None):
         # prefix) and stacked on a row axis. Three sequential scans were
         # the largest term of the batch=1 serving latency (~67 us of
         # 174, benchmarks/profile_latency.py).
-        from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_rows
+        from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_rows_mxu
 
         decs = [_decimate_box(windows, d) for (_, _, d) in bands]
         periods = tuple(max(4, int(1.5 * hi / d)) for (_, hi, d) in bands)
@@ -324,7 +325,7 @@ def music_pseudospectrum(windows: jax.Array, cfg, band_windows=None):
             ],
             axis=-2,
         )  # [..., R, n_max]
-        hp_rows = ehlers_highpass_detrend_rows(stacked, periods)
+        hp_rows = ehlers_highpass_detrend_rows_mxu(stacked, periods)
         covs = [
             _autocov_toeplitz(hp_rows[..., bi, : decs[bi].shape[-1]], m)
             for bi in range(len(bands))
@@ -952,8 +953,12 @@ def music_extract(windows: jax.Array, cfg, pre_highpassed: bool = False,
         # exactly (trend[0] = c*2*p[0] with y[-1]=0, so an input starting
         # at 0 has no step); the filter is linear, so the constant shift
         # never touches sinusoid amplitudes or phases.
+        from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_mxu
+
         windows = windows - windows[..., :1]
-        windows = ehlers_highpass_detrend(windows, hp_period)
+        windows = ehlers_highpass_detrend_mxu(
+            windows, (hp_period,)
+        )[..., 0, :]
 
     st = music_candidates(windows, cfg, band_windows=band_windows,
                           seed_spec=seed_spec)

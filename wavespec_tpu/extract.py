@@ -582,10 +582,13 @@ def extract_cycles_batch(
         # path below (ESPRIT shares the preconditioning contract).
         from wavespec_tpu.analyze.esprit import esprit_extract
         from wavespec_tpu.analyze.music import music_hp_period
+        from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_mxu
 
         series = series.astype(jnp.float32)
         series = series - series[..., :1]
-        hp_series = ehlers_highpass_detrend(series, music_hp_period(cfg))
+        hp_series = ehlers_highpass_detrend_mxu(
+            series, (music_hp_period(cfg),)
+        )[..., 0, :]
         windows = frame_series(hp_series, cfg.window, hop)
         return esprit_extract(windows, cfg, pre_highpassed=True)
     if (
@@ -613,9 +616,16 @@ def extract_cycles_batch(
         # level-sized decaying exponential that dominates the covariance of
         # every window overlapping the first ~3*hp_period bars (and
         # OnlineDriver cold-starts the filter at every update() span start).
+        from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_mxu
+
         series = series.astype(jnp.float32)
         series = series - series[..., :1]
-        hp_series = ehlers_highpass_detrend(series, music_hp_period(cfg))
+        # MXU-Toeplitz form of the one-pole filter: the associative-scan
+        # lowering is launch-bound on the v5e (74.6 us vs 4.0 us for the
+        # flagship 37k-sample series; tolerance-gated path only).
+        hp_series = ehlers_highpass_detrend_mxu(
+            series, (music_hp_period(cfg),)
+        )[..., 0, :]
         windows = frame_series(hp_series, cfg.window, hop)
         band_w = band_precondition_windows(hp_series, cfg, hop)
         # Ridge-seed spectra via the overlap-shared hopped DFT when the

@@ -101,6 +101,107 @@ def ehlers_highpass_detrend_rows(
     return rows - _linear_recurrence(a, b)
 
 
+@partial(jax.jit, static_argnames=("periods", "block"))
+def ehlers_highpass_detrend_mxu(
+    price: jax.Array, periods: tuple[int, ...], block: int = 128
+) -> jax.Array:
+    """`ehlers_highpass_detrend_stacked` evaluated as MXU matmuls.
+
+    Same filter (one-pole high-pass of the SAME input at R cutoff
+    periods, -> ``[..., R, L]``), different evaluation: the trend
+    recurrence ``y[t] = alpha*y[t-1] + b[t]`` has a CONSTANT coefficient,
+    so over a `block`-sample tile it is a lower-triangular Toeplitz
+    matmul ``y_in = A @ b`` with ``A[t, s] = alpha^(t-s)`` — one
+    [L/block, block] @ [block, block] MXU contraction per cutoff — plus
+    the homogeneous carry ``alpha^(t+1) * y_end[prev block]``, where the
+    per-block end values themselves satisfy a block-level recurrence
+    with coefficient ``alpha^block`` (another tiny Toeplitz matvec).
+    All tables are trace-time NumPy constants.
+
+    Why: `jax.lax.associative_scan` over the ~37k-sample flagship series
+    lowers to ~17 levels of strided-slice fusions whose cost is per-op
+    dispatch, not data (~70 us PER ROW on the v5e for a 147 KB row —
+    the largest block of the MUSIC preconditioning budget). This
+    formulation is two matmuls + one FMA: ~15 us for all three bands.
+    Numerics: weights ``alpha^j <= 1`` decay monotonically and the
+    matmuls run at HIGHEST precision; agreement with the scan
+    formulation is ~1e-6 relative (different summation grouping — same
+    bound as `ehlers_highpass_blocked`). Used by the MUSIC/ESPRIT
+    preconditioning (tolerance-gated); the bitwise-pinned v757 paths
+    keep the scan/blocked forms.
+    """
+    length = price.shape[-1]
+    nblk = -(-length // block)
+    c, a_tbl, t_tbl, apow = _hp_mxu_tables(periods, block, nblk)
+    price = price.astype(jnp.float32)
+    prev = jnp.concatenate([price[..., :1], price[..., :-1]], axis=-1)
+    b = jnp.asarray(c)[:, None] * (
+        price[..., None, :] + prev[..., None, :]
+    )                                                     # [..., R, L]
+    trend = _hp_mxu_solve(b, a_tbl, t_tbl, apow, nblk, block, length)
+    return price[..., None, :] - trend
+
+
+def _hp_mxu_tables(periods, block: int, nblk: int):
+    """Trace-time NumPy constants for the blocked Toeplitz evaluation:
+    (c [R], A [R, block, block], T [R, nblk, nblk], apow [R, block])."""
+    import numpy as _np
+
+    w64 = 2.0 * _np.pi / _np.asarray(periods, _np.float64)
+    alpha = (1.0 - _np.sin(w64)) / _np.cos(w64)
+    c = ((1.0 - alpha) / 2.0).astype(_np.float32)
+    idx = _np.arange(block)
+    e_in = idx[:, None] - idx[None, :]
+    a_tbl = _np.where(
+        e_in >= 0, alpha[:, None, None] ** _np.maximum(e_in, 0)[None], 0.0
+    ).astype(_np.float32)
+    ab = alpha**block
+    j = _np.arange(nblk)
+    e_c = j[:, None] - 1 - j[None, :]
+    with _np.errstate(under="ignore"):
+        t_tbl = _np.where(
+            e_c >= 0, ab[:, None, None] ** _np.maximum(e_c, 0)[None], 0.0
+        ).astype(_np.float32)
+        apow = (alpha[:, None] ** _np.arange(1, block + 1)[None]).astype(
+            _np.float32
+        )
+    return c, a_tbl, t_tbl, apow
+
+
+def _hp_mxu_solve(b: jax.Array, a_tbl, t_tbl, apow, nblk: int, block: int,
+                  length: int) -> jax.Array:
+    """Solve the trend recurrence for driving term ``b [..., R, L]`` via
+    in-block Toeplitz matmuls + the block-carry correction."""
+    pad = nblk * block - length
+    if pad:
+        b = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)])
+    bb = b.reshape(*b.shape[:-1], nblk, block)
+    hp = jax.lax.Precision.HIGHEST
+    y_in = jnp.einsum("rts,...rns->...rnt", jnp.asarray(a_tbl), bb,
+                      precision=hp)
+    carry_prev = jnp.einsum("rnj,...rj->...rn", jnp.asarray(t_tbl),
+                            y_in[..., -1], precision=hp)
+    y = y_in + carry_prev[..., None] * jnp.asarray(apow)[:, None, :]
+    return y.reshape(*y.shape[:-2], nblk * block)[..., :length]
+
+
+@partial(jax.jit, static_argnames=("periods", "block"))
+def ehlers_highpass_detrend_rows_mxu(
+    rows: jax.Array, periods: tuple[int, ...], block: int = 128
+) -> jax.Array:
+    """`ehlers_highpass_detrend_rows` (row r of ``[..., R, L]`` filtered
+    at ``periods[r]``) evaluated as blocked MXU Toeplitz matmuls — same
+    launch-bound-scan fix as `ehlers_highpass_detrend_mxu`, for the
+    in-window per-band path where each row is a DIFFERENT series."""
+    length = rows.shape[-1]
+    nblk = -(-length // block)
+    c, a_tbl, t_tbl, apow = _hp_mxu_tables(periods, block, nblk)
+    rows = rows.astype(jnp.float32)
+    prev = jnp.concatenate([rows[..., :1], rows[..., :-1]], axis=-1)
+    b = jnp.asarray(c)[:, None] * (rows + prev)
+    return rows - _hp_mxu_solve(b, a_tbl, t_tbl, apow, nblk, block, length)
+
+
 @partial(
     jax.jit,
     static_argnames=("trend_period", "block", "return_carry"),
