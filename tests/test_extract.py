@@ -543,3 +543,54 @@ def test_band_precondition_phase_decimated_matches_framed():
     want = _band_precondition_windows_framed(xb, cfg, 64)
     for gb, wb in zip(got, want):
         np.testing.assert_array_equal(np.asarray(gb), np.asarray(wb))
+
+
+def test_pseudo_denominator_lags_matches_projected():
+    """The hot-path sum-of-lags pseudospectrum denominator
+    (`_pseudo_denominator_lags` — one real [G, m] @ [m, batch] matmul)
+    equals the dense-projection oracle ||a(w)^H E_n||^2
+    (`_pseudo_denominator_projected`) for both the static noise-block
+    split and the weighted (gated) projector, to f32 summation-order
+    tolerance."""
+    import wavespec_tpu.analyze.music as M
+
+    rng = np.random.default_rng(11)
+    m, p_keep, g_pts, batch = 10, 6, 57, 12
+    # orthonormal-ish eigenvector blocks (orthonormality not required by
+    # the identity — use raw random matrices to exercise the general case)
+    vecs = jnp.asarray(rng.standard_normal((batch, m, p_keep)), jnp.float32)
+    freqs = jnp.asarray(
+        np.linspace(1 / 200.0, 1 / 9.0, g_pts), jnp.float32)
+    for d in (1, 3, 20):
+        for w in (None,
+                  jnp.asarray(rng.integers(0, 2, (batch, 1, p_keep)),
+                              jnp.float32)):
+            got = np.asarray(M._pseudo_denominator_lags(vecs, w, freqs, m, d))
+            want = np.asarray(
+                M._pseudo_denominator_projected(vecs, w, freqs, m, d))
+            np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+
+
+def test_trig_dot_matches_dense_basis():
+    """`_trig_dot` over the factored tables (merged cos/sin fine tables,
+    128-lane n2 split) equals the dense sum_t x[t] cos/sin(2 pi f t)
+    evaluated in float64."""
+    import wavespec_tpu.analyze.music as M
+
+    rng = np.random.default_rng(7)
+    for n in (256, 4096):
+        n2 = M._split_n2(n)
+        x = rng.standard_normal((5, n)).astype(np.float32)
+        f = rng.uniform(1 / 200.0, 1 / 9.0, (5, 9)).astype(np.float32)
+        xr = jnp.asarray(x.reshape(5, n // n2, n2))
+        c1, s1, c2, s2 = M._factored_trig(jnp.asarray(f), n // n2, n2)
+        gc, gs = M._trig_dot(xr, c1, s1, c2, s2)
+        t = np.arange(n, dtype=np.float64)
+        ang = 2 * np.pi * f[..., None].astype(np.float64) * t
+        want_c = np.sum(x[:, None, :] * np.cos(ang), axis=-1)
+        want_s = np.sum(x[:, None, :] * np.sin(ang), axis=-1)
+        scale = np.sqrt(n) * np.abs(x).max()
+        np.testing.assert_allclose(np.asarray(gc), want_c,
+                                   atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(gs), want_s,
+                                   atol=2e-4 * scale)

@@ -16,7 +16,8 @@ Pipeline (one jitted program, batched over windows):
    of cycles, and a small p keeps a deep noise projector — the final
    ranking over all bands' candidates is by fitted power).
 3. Noise-subspace pseudospectrum P(w) = 1 / ||a(w)^H E_n||^2 evaluated on a
-   dense in-band frequency grid — two [G, m] @ [m, m-p] matmuls.
+   dense in-band frequency grid via the sum-of-lags identity — ONE real
+   [G, m] @ [m, batch] matmul (`_pseudo_denominator_lags`).
 4. Top-k local maxima of P -> cycle frequencies (super-resolution: the grid
    is `music_grid_per_bin` times finer than the FFT bin spacing).
 5. Amplitude/phase per cycle by least-squares sinusoid fit to the window,
@@ -266,6 +267,56 @@ def _band_precondition_windows_framed(series: jax.Array, cfg, hop: int):
     return tuple(outs)
 
 
+def _pseudo_denominator_lags(vecs_b, w_b, freqs_b, m: int, d: int):
+    """``||a(w)^H E_n||^2`` on the grid via the sum-of-lags identity.
+
+    With a_j(w) = e^{i 2 pi w d j} and E the (possibly mask-weighted)
+    noise eigenvector block, the denominator is a^H (E W E^H) a =
+    g_0 + 2 sum_{lag>=1} g_lag cos(2 pi w d lag), where g_lag is the
+    lag-diagonal sum of Q = E W E^H — computed directly as weighted
+    column autocorrelations of E without forming Q. This removes the
+    noise-vector dimension from the grid contraction entirely: ONE real
+    [G, m] @ [m, ...batch] matmul replaces the cos/sin pair of
+    [G, m] @ [m, ..., m-p] projections plus the |.|^2 reduction (12x
+    fewer grid FLOPs at flagship m=10, p=4). Exact same value up to f32
+    summation order (`_pseudo_denominator_projected` is the test oracle).
+
+    vecs_b ``[..., m, P]``, w_b ``[..., 1, P]`` weights or None,
+    freqs_b ``[G]`` cycles/bar. Returns ``[..., G]``.
+    """
+    ew = vecs_b if w_b is None else vecs_b * w_b
+    # g_lag = sum_{i,p} (E W)[i+lag, p] E[i, p]; lag 0 doubled so one
+    # table row covers the +/- lag pair.
+    glags = []
+    for lag in range(m):
+        corr = jnp.sum(
+            ew[..., lag:, :] * vecs_b[..., : m - lag, :], axis=(-2, -1)
+        )
+        glags.append(corr if lag == 0 else 2.0 * corr)
+    g = jnp.stack(glags, axis=-1)                        # [..., m]
+    lags = jnp.arange(m, dtype=jnp.float32) * d
+    ang = 2.0 * jnp.pi * freqs_b[:, None] * lags[None, :]  # [G, m]
+    return jnp.einsum("gl,...l->...g", jnp.cos(ang), g,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _pseudo_denominator_projected(vecs_b, w_b, freqs_b, m: int, d: int):
+    """Dense-projection formulation of `_pseudo_denominator_lags` —
+    superseded on the hot path by the sum-of-lags identity, kept as its
+    test oracle (tests/test_extract.py)."""
+    taps = jnp.arange(m, dtype=jnp.float32) * d
+    ang = 2.0 * jnp.pi * freqs_b[:, None] * taps[None, :]  # [Gb, m]
+    cos_g, sin_g = jnp.cos(ang), jnp.sin(ang)
+    cn = jnp.einsum("gm,...mp->...gp", cos_g, vecs_b,
+                    precision=jax.lax.Precision.HIGHEST)
+    sn = jnp.einsum("gm,...mp->...gp", sin_g, vecs_b,
+                    precision=jax.lax.Precision.HIGHEST)
+    sq = cn * cn + sn * sn
+    if w_b is not None:
+        return jnp.sum(sq * w_b, axis=-1)
+    return jnp.sum(sq, axis=-1)
+
+
 def music_pseudospectrum(windows: jax.Array, cfg, band_windows=None):
     """Multi-resolution noise-subspace pseudospectrum over the band.
 
@@ -352,28 +403,17 @@ def music_pseudospectrum(windows: jax.Array, cfg, band_windows=None):
     core_parts = []
     for bi, (lo, hi, d) in enumerate(bands):
         freqs_b, core_b = _freq_grid_band(cfg, lo, hi)
-        taps = jnp.arange(m, dtype=jnp.float32) * d
-        ang = 2.0 * jnp.pi * freqs_b[:, None] * taps[None, :]  # [Gb, m]
-        cos_g, sin_g = jnp.cos(ang), jnp.sin(ang)
         if gate_on:
-            # per-window adaptive projector: project onto ALL m
-            # directions, mask to the gated noise set
+            # per-window adaptive projector: correlate ALL m directions,
+            # weighted by the gated noise mask
             vecs_b = eigvecs[..., bi, :, :]
+            w_b = w_noise[..., bi, None, :]
         else:
             # static split: eigvals ascend, so the noise subspace is the
-            # FIRST m-p eigenvector columns — project onto that block
-            # only (same numbers as the masked full projection, 40% less
-            # grid matmul at flagship m=10, p=4)
+            # FIRST m-p eigenvector columns
             vecs_b = eigvecs[..., bi, :, : m - p]
-        cn = jnp.einsum("gm,...mp->...gp", cos_g, vecs_b,
-                        precision=jax.lax.Precision.HIGHEST)
-        sn = jnp.einsum("gm,...mp->...gp", sin_g, vecs_b,
-                        precision=jax.lax.Precision.HIGHEST)
-        sq = cn * cn + sn * sn
-        if gate_on:
-            den = jnp.sum(sq * w_noise[..., bi, None, :], axis=-1)
-        else:
-            den = jnp.sum(sq, axis=-1)
+            w_b = None
+        den = _pseudo_denominator_lags(vecs_b, w_b, freqs_b, m, d)
         pseudo_b = 1.0 / jnp.maximum(den, 1e-12)
         # normalize per band so merged peaks are comparable across bands
         pseudo_b = pseudo_b / jnp.mean(pseudo_b, axis=-1, keepdims=True)
@@ -477,12 +517,21 @@ def _trig_dot(xr: jax.Array, c1, s1, c2, s2):
     """(sum_t x[t] cos(w t), sum_t x[t] sin(w t)) for per-k frequencies.
 
     xr ``[..., n1, n2]`` (window reshaped), tables ``[..., K, n1|n2]``.
-    Two [n2]-contraction matmuls ride the MXU; the length-n cos/sin arrays
-    of the naive form are never materialized.
+    The [n2]-contraction matmul rides the MXU with the cos and sin fine
+    tables MERGED on the output dim (one [n1, n2] @ [n2, 2K] per window
+    instead of two @ [n2, K]): these are B-batched TINY matmuls — at the
+    flagship refine shape [64, 64] @ [64, 24] filled 4.7% of the MXU
+    tiles and the merge plus the 128-lane n2 split (`_split_n2`) measured
+    461 -> 278 us per refine call on the v5e (benchmarks/probe_refine.py;
+    block-diagonal window pairing lost its tile gains to the build
+    overhead). The length-n cos/sin arrays of the naive form are never
+    materialized.
     """
     hp = jax.lax.Precision.HIGHEST
-    ic = jnp.einsum("...uv,...kv->...ku", xr, c2, precision=hp)
-    is_ = jnp.einsum("...uv,...kv->...ku", xr, s2, precision=hp)
+    cs2 = jnp.concatenate([c2, s2], axis=-2)                  # [..., 2K, n2]
+    i_cs = jnp.einsum("...uv,...kv->...ku", xr, cs2, precision=hp)
+    k = c2.shape[-2]
+    ic, is_ = i_cs[..., :k, :], i_cs[..., k:, :]
     cos_dot = jnp.einsum("...ku,...ku->...k", c1, ic, precision=hp) - \
         jnp.einsum("...ku,...ku->...k", s1, is_, precision=hp)
     sin_dot = jnp.einsum("...ku,...ku->...k", s1, ic, precision=hp) + \
@@ -491,7 +540,9 @@ def _trig_dot(xr: jax.Array, c1, s1, c2, s2):
 
 
 def _split_n2(n: int) -> int:
-    return min(64, n)
+    # 128 fills the MXU lane dim on the fine-table contraction (chip A/B:
+    # 307 us at n2=64 vs 278 us at n2=128 for the flagship refine call).
+    return min(128, n)
 
 
 def _dirichlet_cs(f: jax.Array, n: int):
