@@ -120,7 +120,7 @@ def main() -> None:
 
     from wavespec_tpu.analyze import music as M
     from wavespec_tpu.extract import ExtractConfig, Method, frame_series
-    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
+    from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_mxu
     from wavespec_tpu.kernels.hopped_dft import hopped_eligible, rfft_band_hopped
     from wavespec_tpu.ops.spectrum import band_indices
 
@@ -136,7 +136,10 @@ def main() -> None:
 
     @jax.jit
     def prerank(s):
-        hp_series = ehlers_highpass_detrend(s, M.music_hp_period(cfg))
+        # production extract path: first-sample anchor + MXU-Toeplitz main hp
+        s0 = s - s[..., :1]
+        hp_series = ehlers_highpass_detrend_mxu(
+            s0, (M.music_hp_period(cfg),))[..., 0, :]
         windows = frame_series(hp_series, cfg.window, hop)
         band_w = M.band_precondition_windows(hp_series, cfg, hop)
         seed_spec = None

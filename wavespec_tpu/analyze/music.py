@@ -226,25 +226,33 @@ def band_precondition_windows(series: jax.Array, cfg, hop: int):
         g = d // math.gcd(d, hop)
         hop_d = g * hop // d
         nw_max = -(-nwin // g)
-        phases = []
-        for r in range(g):
-            nw_r = (nwin - r + g - 1) // g if r < nwin else 0
-            if nw_r == 0:
-                phases.append(jnp.zeros(
-                    (*hp_b.shape[:-1], nw_max, ld), jnp.float32))
-                continue
-            need = ld + (nw_r - 1) * hop_d
-            start = r * hop + off
-            x = jax.lax.slice_in_dim(
-                hp_b, start, start + need * d, axis=-1)
-            dec = jnp.mean(
-                x.reshape(*x.shape[:-1], need, d), axis=-1)
-            fr = frame_series(dec, ld, hop_d)        # [..., nw_r, ld]
-            if nw_r < nw_max:
-                pad = [(0, 0)] * (fr.ndim - 2) + [(0, nw_max - nw_r), (0, 0)]
-                fr = jnp.pad(fr, pad)
-            phases.append(fr)
-        st = jnp.stack(phases, axis=-2)              # [..., nw_max, g, ld]
+        # ALL g phases in one stacked slice + one reshape-mean + one
+        # batched framing. The per-phase loop was launch-bound on the
+        # v5e (~25 small ops per phase, 193 us of the 229 us pseudo
+        # stage at the flagship shape — benchmarks/probe_pseudo.py);
+        # phases beyond a window's reach produce junk rows that land at
+        # interleaved indices >= nwin and are sliced off, so every KEPT
+        # row sees the exact per-phase slices/means/frames of the loop
+        # form — still bitwise equal to the framed oracle.
+        need = ld + (nw_max - 1) * hop_d
+        lmax = (g - 1) * hop + off + need * d
+        pad_amt = max(0, lmax - hp_b.shape[-1])
+        hp_p = hp_b
+        if pad_amt:
+            hp_p = jnp.pad(
+                hp_b, [(0, 0)] * (hp_b.ndim - 1) + [(0, pad_amt)])
+        stacked = jnp.stack(
+            [
+                jax.lax.slice_in_dim(
+                    hp_p, r * hop + off, r * hop + off + need * d, axis=-1)
+                for r in range(g)
+            ],
+            axis=-2,
+        )                                            # [..., g, need*d]
+        dec = jnp.mean(
+            stacked.reshape(*stacked.shape[:-1], need, d), axis=-1)
+        fr = frame_series(dec, ld, hop_d)            # [..., g, nw_max, ld]
+        st = jnp.swapaxes(fr, -3, -2)                # [..., nw_max, g, ld]
         outs.append(st.reshape(
             *st.shape[:-3], nw_max * g, ld)[..., :nwin, :])
     return tuple(outs)
