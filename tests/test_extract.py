@@ -594,3 +594,36 @@ def test_trig_dot_matches_dense_basis():
                                    atol=2e-4 * scale)
         np.testing.assert_allclose(np.asarray(gs), want_s,
                                    atol=2e-4 * scale)
+
+
+def test_refine_moments_matches_exact():
+    """The moment-expansion refine (`_refine_freq_moments` — one data
+    pass via 4 block moments + Taylor stencil evaluation) agrees with
+    the exact 6-pass `_refine_freq` to well under the refine target
+    accuracy, for both subspace-style fine steps and ridge-style
+    half-bin steps, at the window sizes the router sends to it."""
+    import wavespec_tpu.analyze.music as M
+
+    rng = np.random.default_rng(13)
+    for n in (2048, 4096):
+        t = np.arange(n)
+        x = np.stack([
+            (np.sin(2 * np.pi * t / p0) + 0.5 * np.sin(2 * np.pi * t / p1)
+             + 0.2 * rng.standard_normal(n))
+            for (p0, p1) in [(50.0, 120.0), (23.7, 87.3), (11.2, 190.0)]
+        ]).astype(np.float32)
+        w = jnp.asarray(x)
+        # candidates: near-truth fine-step picks + integer-bin ridge seeds
+        truths = np.array([[1/50.0, 1/120.0], [1/23.7, 1/87.3],
+                           [1/11.2, 1/190.0]], np.float32)
+        fine = truths + rng.uniform(-0.25, 0.25, truths.shape) / n
+        ridge = np.round(truths * n) / n
+        freq = jnp.asarray(np.concatenate([fine, ridge], axis=1))
+        step = jnp.asarray(np.concatenate(
+            [np.full_like(fine, 1.0 / (8 * n)),
+             np.full_like(ridge, 0.5 / n)], axis=1))
+        assert n >= 16 * M._split_n2(n)  # router premise
+        exact, _ = M._refine_freq(w, freq, step)
+        fast, _ = M._refine_freq_moments(w, freq, step)
+        dbins = np.abs(np.asarray(exact) - np.asarray(fast)) * n
+        assert dbins.max() < 5e-3, (n, dbins.max())

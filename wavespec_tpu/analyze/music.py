@@ -687,23 +687,101 @@ def _refine_freq(
     for _ in range(iters):
         cand = freq[..., None] + step[..., None] * offsets  # [..., k, 3]
         p = periodogram(cand)
-        # parabola vertex through (-1, p0), (0, p1), (1, p2) — valid only
-        # when the triple is concave (center >= both ends would suffice;
-        # denom < 0 is the quadratic's condition). A ridge seed half a
-        # bin from a strong line sees an INCREASING triple: its
-        # "vertex" is a minimum and the update would walk AWAY from the
-        # peak, so step toward the larger endpoint instead.
-        denom = p[..., 0] - 2.0 * p[..., 1] + p[..., 2]
-        vertex = 0.5 * (p[..., 0] - p[..., 2]) / jnp.where(
-            jnp.abs(denom) > 1e-30, denom, 1e-30
-        )
-        shift = jnp.where(
-            denom < 0.0,
-            jnp.clip(vertex, -1.0, 1.0),
-            jnp.sign(p[..., 2] - p[..., 0]),
-        )
-        freq = freq + shift * step
-        step = step / 4.0
+        freq, step = _parabola_move(freq, step, p)
+    return freq, p[..., 1]
+
+
+def _parabola_move(freq, step, p):
+    """One parabolic-refinement move from the 3-point stencil values.
+
+    Vertex through (-1, p0), (0, p1), (1, p2) — valid only when the
+    triple is concave (denom < 0 is the quadratic's condition). A ridge
+    seed half a bin from a strong line sees an INCREASING triple: its
+    "vertex" is a minimum and the update would walk AWAY from the peak,
+    so step toward the larger endpoint instead.
+    """
+    denom = p[..., 0] - 2.0 * p[..., 1] + p[..., 2]
+    vertex = 0.5 * (p[..., 0] - p[..., 2]) / jnp.where(
+        jnp.abs(denom) > 1e-30, denom, 1e-30
+    )
+    shift = jnp.where(
+        denom < 0.0,
+        jnp.clip(vertex, -1.0, 1.0),
+        jnp.sign(p[..., 2] - p[..., 0]),
+    )
+    return freq + shift * step, step / 4.0
+
+
+def _refine_freq_moments(
+    windows: jax.Array, freq: jax.Array, step, iters: int = 2
+) -> jax.Array:
+    """`_refine_freq` evaluated through per-candidate block MOMENTS.
+
+    The exact form pays one full data pass per stencil point (2
+    iterations x 3 points x k candidates of [n1, n2] @ [n2, 2K]
+    matmuls). But every stencil point of a candidate stays within
+    delta <= 1.25 * step of its CENTER frequency, so the fine-table
+    factor separates: e^{-i 2 pi (f0+delta) v} = e^{-i 2 pi f0 v}
+    e^{-i theta w} with w = v/n2 in [0,1) and theta = 2 pi delta n2,
+    and e^{-i theta w} expands in a 4-term Taylor series. ONE einsum
+    against the moment-extended window rows [x, wx, w^2 x, w^3 x]
+    ([4*n1, n2] @ [n2, 2K] — the lhs tile is FULL at n1=32) yields
+    block moments M_m,u = sum_v w^m x e^{-i 2 pi f0 v}; each stencil
+    evaluation is then a cheap n1-length outer contraction
+    B_u(delta) = sum_m coef_m(theta) M_m,u,
+    DFT = sum_u e^{-i 2 pi f n2 u} B_u. 6 data passes at 2K=48 become
+    ONE at 2K=16 with 33% fewer FLOPs and fuller tiles.
+
+    Truncation error: |e^{-i theta w} - taylor_3| <= theta^4/24. The
+    worst theta is a ridge seed's half-bin first step:
+    theta_max = 2 pi * 1.25 * (0.5/n) * n2, so n/n2 >= 16 keeps the
+    relative periodogram error < ~1e-4 (9.5e-6 at the flagship n=4096)
+    — far below the vertex sensitivity. `_refine_and_fit` routes here
+    only when n >= 16 * n2; smaller windows keep the exact form.
+    Agreement is gated by tests/test_extract.py
+    (test_refine_moments_matches_exact).
+    """
+    n = windows.shape[-1]
+    n2 = _split_n2(n)
+    n1 = n // n2
+    xr = windows.reshape(*windows.shape[:-1], n1, n2)
+    w = jnp.arange(n2, dtype=jnp.float32) / n2
+    xm = jnp.concatenate([xr * (w**m) for m in range(4)], axis=-2)
+    k = freq.shape[-1]
+    _c1, _s1, c2, s2 = _factored_trig(freq, n1, n2)   # fine tables at f0
+    cs2 = jnp.concatenate([c2, s2], axis=-2)          # [..., 2k, n2]
+    hp = jax.lax.Precision.HIGHEST
+    i_cs = jnp.einsum("...uv,...kv->...ku", xm, cs2, precision=hp)
+    cm = i_cs[..., :k, :].reshape(*i_cs.shape[:-2], k, 4, n1)
+    sm = i_cs[..., k:, :].reshape(*i_cs.shape[:-2], k, 4, n1)
+    c0 = cm[..., 0, :][..., None, :]   # [..., k, 1, n1]
+    c1m = cm[..., 1, :][..., None, :]
+    c2m = cm[..., 2, :][..., None, :]
+    c3m = cm[..., 3, :][..., None, :]
+    s0 = sm[..., 0, :][..., None, :]
+    s1m = sm[..., 1, :][..., None, :]
+    s2m = sm[..., 2, :][..., None, :]
+    s3m = sm[..., 3, :][..., None, :]
+
+    f0 = freq
+    u = jnp.arange(n1, dtype=jnp.float32)
+    offsets = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+    step = jnp.asarray(step, jnp.float32)
+    p = None
+    for _ in range(iters):
+        cand = freq[..., None] + step[..., None] * offsets    # [..., k, 3]
+        th = ((2.0 * jnp.pi * n2) * (cand - f0[..., None]))[..., None]
+        th2 = 0.5 * th * th
+        th3 = th * th * th * (1.0 / 6.0)
+        b_re = c0 - th * s1m - th2 * c2m + th3 * s3m
+        b_im = -s0 - th * c1m + th2 * s2m + th3 * c3m
+        fr_ = jnp.mod(cand * n2, 1.0)
+        a1 = (2.0 * jnp.pi) * jnp.mod(fr_[..., None] * u, 1.0)
+        cu, su = jnp.cos(a1), jnp.sin(a1)                     # [..., k, 3, n1]
+        re = jnp.sum(cu * b_re + su * b_im, axis=-1)
+        im = jnp.sum(cu * b_im - su * b_re, axis=-1)
+        p = re * re + im * im
+        freq, step = _parabola_move(freq, step, p)
     return freq, p[..., 1]
 
 
@@ -929,7 +1007,13 @@ def _refine_and_fit(windows: jax.Array, cfg, out: dict,
     """Shared tail of `music_candidates`: parabolic refine + LS fit."""
     n = cfg.window
     freq, valid, step0 = out["freq"], out["valid"], out["step0"]
-    freq, _ = _refine_freq(windows, freq, step=step0)
+    if n >= 16 * _split_n2(n):
+        # Moment-expansion refine: one data pass instead of six; the
+        # Taylor truncation needs theta = 2 pi * 1.25 * step * n2 small,
+        # which n/n2 >= 16 guarantees for the half-bin ridge step.
+        freq, _ = _refine_freq_moments(windows, freq, step=step0)
+    else:
+        freq, _ = _refine_freq(windows, freq, step=step0)
 
     # Refinement can merge two distinct grid peaks onto one frequency;
     # re-dedupe so the fit basis stays non-singular.
