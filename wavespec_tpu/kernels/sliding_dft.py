@@ -90,8 +90,11 @@ def _tables(window: int, n_bins: int, chunk: int, window_type: int):
         x = x - np.round(x)
         return np.cos(2 * np.pi * x), np.sin(2 * np.pi * x)
 
-    # anchor basis e^{-2pi i phi j}, factored j = u*J2 + v
-    j2 = min(64, n)
+    # anchor basis e^{-2pi i phi j}, factored j = u*J2 + v (J2 = 128
+    # fills the MXU lane dim when the factored anchor route contracts
+    # over v; the collapsed route only ever uses the a*b product, which
+    # is J2-invariant)
+    j2 = min(128, n)
     j1 = -(-n // j2)
     u = np.arange(j1, dtype=np.float64)[:, None] * j2
     v = np.arange(j2, dtype=np.float64)[:, None]
@@ -236,18 +239,44 @@ def sliding_band_spec(
 
     from wavespec_tpu.extract import frame_series
 
-    # 1) anchor DFTs: windows at chunk starts, one [.., n_chunk, N] x
-    # [N, K*M] complex contraction via the factored basis.
+    # 1) anchor DFTs: windows at chunk starts contracted against the
+    # e^{-2pi i phi j} basis.
     w0 = pb(frame_series(s, n, chunk)[..., :n_chunk, :])  # [.., n_chunk, N]
     j1, km = tabs["a_re"].shape
     j2 = tabs["b_re"].shape[0]
     a_re, a_im = jnp.asarray(tabs["a_re"]), jnp.asarray(tabs["a_im"])
     b_re, b_im = jnp.asarray(tabs["b_re"]), jnp.asarray(tabs["b_im"])
-    basis_re = (a_re[:, None, :] * b_re[None, :, :]
-                - a_im[:, None, :] * b_im[None, :, :]).reshape(j1 * j2, km)[:n]
-    basis_im = (a_re[:, None, :] * b_im[None, :, :]
-                + a_im[:, None, :] * b_re[None, :, :]).reshape(j1 * j2, km)[:n]
-    y0_re, y0_im = mm(w0, basis_re, basis_im)  # [.., n_chunk, K*M]
+    lead_rows = 1
+    for d_ in lead:
+        lead_rows *= int(d_)
+    if not pin and lead_rows * n_chunk < 256:
+        # FACTORED anchor (j = u*J2 + v two-step, like the four-step
+        # FFT): with few anchor rows the collapsed [N, K*M] basis is
+        # both memory-bound (300 MB x2 at window 16384 / 913 bins,
+        # re-read 6x by the HIGHEST-precision passes) and tile-starved
+        # (M = rows). Two-step never materializes it and puts rows*J1
+        # on the matmul M dim: the v757@16384 B=1 spectral stage
+        # measured 6.77 ms -> see benchmarks/probe_v757_spectral.py.
+        # Large-row batches keep the collapsed form (its basis reads
+        # amortize and the factored [.., J1, K*M] intermediate would
+        # exceed them); the pinned path keeps the one fixed-order
+        # contraction its bitwise chunk-parity contract documents.
+        w0f = w0
+        if j1 * j2 != n:
+            w0f = jnp.pad(
+                w0, [(0, 0)] * (w0.ndim - 1) + [(0, j1 * j2 - n)])
+        w0f = w0f.reshape(*lead, n_chunk, j1, j2)
+        i_re, i_im = mm(w0f, b_re, b_im)       # [.., n_chunk, j1, K*M]
+        y0_re = jnp.sum(a_re * i_re - a_im * i_im, axis=-2)
+        y0_im = jnp.sum(a_re * i_im + a_im * i_re, axis=-2)
+    else:
+        basis_re = (a_re[:, None, :] * b_re[None, :, :]
+                    - a_im[:, None, :] * b_im[None, :, :]).reshape(
+                        j1 * j2, km)[:n]
+        basis_im = (a_re[:, None, :] * b_im[None, :, :]
+                    + a_im[:, None, :] * b_re[None, :, :]).reshape(
+                        j1 * j2, km)[:n]
+        y0_re, y0_im = mm(w0, basis_re, basis_im)  # [.., n_chunk, K*M]
     n_m = tabs["n_m"]
     y0_re = pb(y0_re).reshape(*lead, n_chunk, n_bins, n_m)
     y0_im = pb(y0_im).reshape(*lead, n_chunk, n_bins, n_m)
