@@ -13,6 +13,11 @@ buffer, recompute the current 128-frame sliding-DFT block (canonical
 fixed-shape arithmetic), candidates + group delay for the new frame,
 tracker resume (Pallas, T=1), and the whole tail machine resume
 (biquad/ETA/FollowFirst/Kalman — Pallas, T=1).
+
+Two lines: the single-symbol driver and the FLEET driver
+(`V757OnlineDriver(batch=128)` — the production config-#5 per-chip
+shape, 128 symbols riding the tracker/tail kernels' VPU lanes in one
+lockstep step), reported as us/tick and us/(symbol*tick).
 """
 
 import json
@@ -28,43 +33,50 @@ from wavespec_tpu.pipeline.online import V757OnlineDriver, _online_step
 from wavespec_tpu.pipeline.v757 import FRAME_BLOCK, V757Config
 
 
-def make_series(n, seed=5):
+def make_series(n, seed=5, batch=None):
     rng = np.random.default_rng(seed)
     t = np.arange(n)
-    return (100 + np.cumsum(0.01 * rng.standard_normal(n))
+    shape = (n,) if batch is None else (batch, n)
+    return (100 + np.cumsum(0.01 * rng.standard_normal(shape), axis=-1)
             + 1.5 * np.sin(2 * np.pi * t / 26)
             + 0.8 * np.sin(2 * np.pi * t / 40)).astype(np.float32)
 
 
-def main() -> None:
-    cfg = V757Config(window=4096, min_period=18.0, max_period=52.0,
-                     resumable=True)
+def measure(cfg: V757Config, batch: int | None,
+            k_long: int = 100, k_short: int = 4) -> float:
+    """Median per-tick device latency (seconds) of the serving step."""
     w = cfg.window
     seg_len = w + FRAME_BLOCK - 1
-    k_long, k_short = 100, 4
-    series = make_series(w + FRAME_BLOCK + k_long + 8)
+    series = make_series(w + FRAME_BLOCK + k_long + 8, batch=batch)
 
     # Drive the real driver to a block boundary (lead=0) and lift its
     # state: the chain below continues EXACTLY where serving would.
-    drv = V757OnlineDriver(cfg)
-    drv.update(series[: w + FRAME_BLOCK - 1])   # frames [0, 128): full block
-    drv.update(series[w + FRAME_BLOCK - 1 : w + FRAME_BLOCK])  # roll + frame 128
+    drv = V757OnlineDriver(cfg, batch=batch)
+    drv.update(series[..., : w + FRAME_BLOCK - 1])  # frames [0, 128)
+    drv.update(series[..., w + FRAME_BLOCK - 1 : w + FRAME_BLOCK])
     assert drv.frames_done == FRAME_BLOCK + 1 and drv._a0 == FRAME_BLOCK
     base = FRAME_BLOCK
-    seg0 = drv._buf[:seg_len]
-    if len(seg0) < seg_len:
-        seg0 = np.pad(seg0, (0, seg_len - len(seg0)))
+    seg0 = drv._buf[..., :seg_len]
+    if seg0.shape[-1] < seg_len:
+        seg0 = np.pad(
+            seg0,
+            [(0, 0)] * (seg0.ndim - 1) + [(0, seg_len - seg0.shape[-1])],
+        )
     hp_carry = drv._hp_carry
     trk0, tail0 = drv._tracker, drv._tail
     lead0 = drv.frames_done - base              # = 1
-    next_bars = series[drv.bars_consumed : drv.bars_consumed + k_long]
+    next_bars = np.moveaxis(
+        series[..., drv.bars_consumed : drv.bars_consumed + k_long], -1, 0
+    )  # [K] or [K, B]
 
     @partial(jax.jit, static_argnames=("k",))
     def chain(seg, trk, tail, bars, k: int):
         def body(carry, bar):
             seg, lead, trk, tail = carry
+            upd = bar[..., None]                 # [..., 1]
+            start = (0,) * (seg.ndim - 1) + (0,)
             seg = jax.lax.dynamic_update_slice(
-                seg, bar[None], (w - 1 + lead,)
+                seg, upd, (*start[:-1], w - 1 + lead)
             )
             packed, _, trk, tail = _online_step(
                 seg, hp_carry, lead, trk, tail, cfg, 1
@@ -103,13 +115,30 @@ def main() -> None:
             med = statistics.median(last3)
             if (max(last3) - min(last3)) / med <= 0.15:
                 break
-    med = statistics.median(deltas[-3:] if len(deltas) >= 3 else deltas)
+    return statistics.median(deltas[-3:] if len(deltas) >= 3 else deltas)
+
+
+def main() -> None:
+    cfg = V757Config(window=4096, min_period=18.0, max_period=52.0,
+                     resumable=True)
+
+    med = measure(cfg, batch=None)
     print(json.dumps({
         "metric": "v757_online_tick_device_latency_us",
         "value": round(med * 1e6, 1),
         "unit": "us/tick",
         "window": cfg.window,
-        "n_deltas": len(deltas),
+    }), flush=True)
+
+    b = 128
+    med_b = measure(cfg, batch=b)
+    print(json.dumps({
+        "metric": "v757_online_fleet128_tick_device_latency_us",
+        "value": round(med_b * 1e6, 1),
+        "unit": "us/tick",
+        "us_per_symbol_tick": round(med_b * 1e6 / b, 2),
+        "window": cfg.window,
+        "batch": b,
     }), flush=True)
 
 

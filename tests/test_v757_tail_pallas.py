@@ -160,3 +160,42 @@ def test_tail_kernel_interpret_batched():
     assert "kalman" not in got
     want.pop("kalman")
     _compare(got, want, cfg.seconds_per_bar)
+
+
+def test_tail_kernel_interpret_resume_batched():
+    """Chunked resume (init=) == one-shot, BITWISE, with a symbol batch —
+    the fleet online driver's device tail path (V757OnlineDriver(batch=B)
+    routes here on a real chip). The kernel's per-frame arithmetic is
+    identical whether the scratch was zero-initialized or loaded from the
+    19 init blocks, so every output field and every packed state row must
+    match exactly."""
+    cfg = V757Config(window=256, min_period=18.0, max_period=52.0)
+    hop = 1
+    newest, pv, periods, valid, gd = _inputs(t=96, seed=5, batch=(3,))
+    args = (jnp.asarray(newest), jnp.asarray(pv), jnp.asarray(periods),
+            jnp.asarray(valid), jnp.asarray(gd))
+    want, wstate = v757_tail_pallas(
+        *args, cfg, hop, interpret=True, return_state=True)
+
+    cuts = [0, 1, 18, 64, 96]   # includes a single-frame serving tick
+    outs = []
+    st = None
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        # price_prev is only read by the FIRST (init=None) chunk; resumed
+        # chunks carry their own xh history in the state, so passing the
+        # same (stale) pv proves it is ignored.
+        o, st = v757_tail_pallas(
+            jnp.asarray(newest[..., lo:hi]), jnp.asarray(pv),
+            jnp.asarray(periods[..., lo:hi, :]),
+            jnp.asarray(valid[..., lo:hi, :]),
+            jnp.asarray(gd[..., lo:hi, :]),
+            cfg, hop, interpret=True, init=st, return_state=True)
+        outs.append({k: np.asarray(v) for k, v in o.items()})
+    for k in want:
+        ax = -2 if np.asarray(want[k]).ndim == 3 else -1
+        got = np.concatenate([o[k] for o in outs], axis=ax)
+        np.testing.assert_array_equal(got, np.asarray(want[k]), err_msg=k)
+    for f in wstate._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st, f)), np.asarray(getattr(wstate, f)),
+            err_msg=f)

@@ -219,7 +219,22 @@ def sliding_band_spec(
     the default batch path stays unpinned (fusion is its performance).
     """
     pb = jax.lax.optimization_barrier if pin else (lambda x: x)
-    mm = _stable_matmul if pin else _matmul
+    # Pinned matmuls: `_stable_matmul`'s explicit-product pairwise tree
+    # exists for CPU XLA, whose LLVM codegen forms FMAs/reassociates dot
+    # reductions fusion-context-dependently. On TPU an MXU dot's
+    # accumulation order is a function of the operand SHAPES (which this
+    # resumable path pins to the canonical block everywhere), so the
+    # plain einsum is already context-independent — and the explicit
+    # [..., U, K] product materialization is catastrophic at fleet batch
+    # (B=128 anchors: a 2.4 GB intermediate, chip-measured 85 ms/tick vs
+    # ~1 ms with the MXU dot; bitwise chunk==one-shot parity on-chip is
+    # verified by benchmarks/verify_online_chip.py). The surrounding
+    # elementwise arithmetic keeps its barriers on every backend.
+    mm = (
+        _stable_matmul
+        if pin and jax.default_backend() == "cpu"
+        else _matmul
+    )
     wt = int(WindowType(int(window_type)))
     n = window
     tabs = _tables(n, n_bins, chunk, wt)

@@ -510,16 +510,18 @@ def _v757_tail_core(
     XLA primitives' states (`biquad`/`eta`/`ff`/`kalman` + `price_hist`),
     a real device carries the tail kernel's packed state (`pallas` +
     `price_hist`). Chunked == one-shot bitwise on each backend (the
-    primitives' own pinned standard).
+    primitives' own pinned standard). Leading dims are a symbol batch:
+    resume states carry the same leading dims (fleet serving — every
+    machine is batch-native, the device kernels put symbols on their
+    VPU lanes), with all symbols advancing in lockstep on one frame
+    clock (the batch analog of `WaveCyclesBatchFetcher.mq5:91-143`
+    fleet precompute composed with the `pla-kalman.mq5:3186-3342`
+    persistent replay).
     """
     n_slots = cfg.tracker.n_slots
     cand_period, cand_power, cand_idx, cand_valid, gd, gd_idx = spectral
     t_frames = cand_period.shape[-2]
     lead = newest.shape[:-1]
-    if (init is not None or return_state) and lead:
-        raise NotImplementedError(
-            "resumable tail state supports single-series only"
-        )
     # one-hot pick, NOT take_along_axis: the general gather this lowers
     # to on TPU measured 4.99 ms at [64, 512, 230] -> [.., 12] vs 63 us
     # for the one-hot reduce (ops/gather.py), bitwise identical. gd is
@@ -607,16 +609,30 @@ def _v757_tail_core(
         states = jnp.where(
             slots["slot_valid"], jnp.where(color > 0.5, 1.0, -1.0), 0.0
         )
-        ff_fn = lambda st, er, pp, vv: followfirst_signals(
-            st, er, pp, vv, cfg.followfirst,
-            init=None if init is None else init["ff"],
-            return_state=return_state,
-        )
+        # FollowFirst: the resume state must ride THROUGH the vmap (a
+        # closure-captured batched init would be a shape error; a
+        # closure-captured None is fine). Fleet resume (leading symbol
+        # dims + init) threads init["ff"] as a mapped argument.
+        if init is None:
+            ff_fn = lambda st, er, pp, vv: followfirst_signals(
+                st, er, pp, vv, cfg.followfirst, init=None,
+                return_state=return_state,
+            )
+            ff_args = (
+                states, eta_raw, slots["slot_period"], slots["slot_valid"]
+            )
+        else:
+            ff_fn = lambda st, er, pp, vv, fst: followfirst_signals(
+                st, er, pp, vv, cfg.followfirst, init=fst,
+                return_state=return_state,
+            )
+            ff_args = (
+                states, eta_raw, slots["slot_period"], slots["slot_valid"],
+                init["ff"],
+            )
         for _ in range(len(lead)):
             ff_fn = jax.vmap(ff_fn)
-        ff = ff_fn(
-            states, eta_raw, slots["slot_period"], slots["slot_valid"]
-        )
+        ff = ff_fn(*ff_args)
         if return_state:
             ff, ff_state = ff
         else:
