@@ -38,10 +38,6 @@ from wavespec_tpu.ops.gather import take_last, take_rows
 from wavespec_tpu.ops.detrend import ehlers_highpass_detrend
 from wavespec_tpu.ops.spectrum import band_indices
 
-# Bench-only escape hatch: force the XLA candidate-selection chain on
-# device (read at TRACE time — A/B harnesses must jit separate wrappers).
-_FORCE_XLA_SELECT = False
-
 __all__ = ["music_extract", "music_hp_period", "music_pseudospectrum"]
 
 
@@ -863,7 +859,8 @@ def music_candidates(windows: jax.Array, cfg, band_windows=None,
     if upto == "pseudo":
         return out
 
-    if (upto not in ("peaks", "ridge") and not _FORCE_XLA_SELECT
+    if (upto not in ("peaks", "ridge")
+            and not getattr(cfg, "music_xla_select", False)
             and jax.default_backend() != "cpu"):
         # Device path: the whole peaks -> ridge -> prerank selection in
         # ONE Pallas launch (kernels.music_select_pallas) — the XLA

@@ -158,6 +158,12 @@ class ExtractConfig:
     # per-window preconditioning and `hopped_eligible(window, hop)`;
     # per-window attrs are bitwise append-invariant like the framed path.
     use_hopped_dft: bool = True
+    # A/B knob: force the XLA candidate-selection chain for MUSIC on
+    # device instead of the fused Pallas selection kernel
+    # (kernels.music_select_pallas; bitwise-equal outputs). A config
+    # field, not a module global: the config is a static jit argument,
+    # so flipping it retraces — no silently-stale compiled programs.
+    music_xla_select: bool = False
 
     def __post_init__(self):
         if self.window & (self.window - 1) or self.window < 16:
