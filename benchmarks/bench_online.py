@@ -43,18 +43,59 @@ def make_series(n, seed=5, batch=None):
 
 
 def measure(cfg: V757Config, batch: int | None,
-            k_long: int = 100, k_short: int = 4) -> float:
-    """Median per-tick device latency (seconds) of the serving step."""
+            k_long: int = 100, k_short: int = 4,
+            fast: bool = False) -> float:
+    """Median per-tick device latency (seconds) of the serving step.
+
+    `fast=True` measures the opt-in O(r) incremental path
+    (`fast_spectral=True`, `pipeline.online._fast_step`) instead of the
+    bitwise canonical block recompute."""
     w = cfg.window
     seg_len = w + FRAME_BLOCK - 1
     series = make_series(w + FRAME_BLOCK + k_long + 8, batch=batch)
 
     # Drive the real driver to a block boundary (lead=0) and lift its
     # state: the chain below continues EXACTLY where serving would.
-    drv = V757OnlineDriver(cfg, batch=batch)
+    drv = V757OnlineDriver(cfg, batch=batch, fast_spectral=fast)
     drv.update(series[..., : w + FRAME_BLOCK - 1])  # frames [0, 128)
     drv.update(series[..., w + FRAME_BLOCK - 1 : w + FRAME_BLOCK])
-    assert drv.frames_done == FRAME_BLOCK + 1 and drv._a0 == FRAME_BLOCK
+    assert drv.frames_done == FRAME_BLOCK + 1
+    trk0, tail0 = drv._tracker, drv._tail
+    next_bars = np.moveaxis(
+        series[..., drv.bars_consumed : drv.bars_consumed + k_long], -1, 0
+    )  # [K] or [K, B]
+
+    if fast:
+        from wavespec_tpu.pipeline.online import _fast_step
+
+        fst0 = drv._fast
+        f0 = drv.frames_done
+
+        @partial(jax.jit, static_argnames=("k",))
+        def chain(fst, trk, tail, bars, k: int):
+            def body(carry, bar):
+                fst, fpos, trk, tail = carry
+                price_prev = fst.hp_ring[..., :2] * 0 + bar[..., None]
+                packed, _, fst, trk, tail = _fast_step(
+                    bar[..., None], price_prev, fst, fpos, trk, tail,
+                    cfg, 1,
+                )
+                return (fst, fpos + 1, trk, tail), jnp.sum(packed)
+
+            (_, _, _, _), tot = jax.lax.scan(
+                body,
+                (fst, jnp.asarray(f0, jnp.int32), trk, tail),
+                bars[:k],
+            )
+            return jnp.sum(tot)
+
+        seg0 = fst0
+        bars = jnp.asarray(next_bars)
+        float(np.asarray(chain(seg0, trk0, tail0, bars, k_short)))
+        float(np.asarray(chain(seg0, trk0, tail0, bars, k_long)))
+        return _timed_delta(chain, seg0, trk0, tail0, bars, k_short, k_long)
+
+    assert drv._a0 == FRAME_BLOCK
     base = FRAME_BLOCK
     seg0 = drv._buf[..., :seg_len]
     if seg0.shape[-1] < seg_len:
@@ -63,11 +104,7 @@ def measure(cfg: V757Config, batch: int | None,
             [(0, 0)] * (seg0.ndim - 1) + [(0, seg_len - seg0.shape[-1])],
         )
     hp_carry = drv._hp_carry
-    trk0, tail0 = drv._tracker, drv._tail
     lead0 = drv.frames_done - base              # = 1
-    next_bars = np.moveaxis(
-        series[..., drv.bars_consumed : drv.bars_consumed + k_long], -1, 0
-    )  # [K] or [K, B]
 
     @partial(jax.jit, static_argnames=("k",))
     def chain(seg, trk, tail, bars, k: int):
@@ -95,12 +132,15 @@ def measure(cfg: V757Config, batch: int | None,
     # compile both chain lengths
     float(np.asarray(chain(seg0, trk0, tail0, bars, k_short)))
     float(np.asarray(chain(seg0, trk0, tail0, bars, k_long)))
+    return _timed_delta(chain, seg0, trk0, tail0, bars, k_short, k_long)
 
+
+def _timed_delta(chain, st, trk, tail, bars, k_short, k_long) -> float:
     def timed(k):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(np.asarray(chain(seg0, trk0, tail0, bars, k)))
+            float(np.asarray(chain(st, trk, tail, bars, k)))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -137,6 +177,25 @@ def main() -> None:
         "value": round(med_b * 1e6, 1),
         "unit": "us/tick",
         "us_per_symbol_tick": round(med_b * 1e6 / b, 2),
+        "window": cfg.window,
+        "batch": b,
+    }), flush=True)
+
+    med_f = measure(cfg, batch=None, fast=True)
+    print(json.dumps({
+        "metric": "v757_online_fast_tick_device_latency_us",
+        "value": round(med_f * 1e6, 1),
+        "unit": "us/tick",
+        "window": cfg.window,
+        "note": "opt-in O(r) incremental sliding-DFT path (fast_spectral)",
+    }), flush=True)
+
+    med_fb = measure(cfg, batch=b, fast=True)
+    print(json.dumps({
+        "metric": "v757_online_fast_fleet128_tick_device_latency_us",
+        "value": round(med_fb * 1e6, 1),
+        "unit": "us/tick",
+        "us_per_symbol_tick": round(med_fb * 1e6 / b, 2),
         "window": cfg.window,
         "batch": b,
     }), flush=True)

@@ -28,14 +28,20 @@ def main() -> None:
     from wavespec_tpu.ops.detrend import ehlers_highpass_detrend_mxu
     from wavespec_tpu.kernels.hopped_dft import hopped_eligible, rfft_band_hopped
 
-    window, hop, nwin = 4096, 64, 512
+    # argv: [window] [hop] [nwin] — e.g. `profile_music.py 16384 64 128`
+    # profiles the v7.57-default window (VERDICT r4 item 5). nwin is
+    # chosen so the per-iter time stays ~0.8 ms at the observed rates,
+    # keeping the per-stage k chain lengths valid across windows.
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    hop = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    nwin = int(sys.argv[3]) if len(sys.argv) > 3 else 512
     slen = window + (nwin - 1) * hop
     t = np.arange(slen)
     x = jax.device_put(jnp.asarray(
         np.cumsum(0.02 * np.random.default_rng(0).standard_normal(slen))
         + 3 * np.sin(2 * np.pi * t / 50) + 2 * np.sin(2 * np.pi * t / 120),
         jnp.float32))
-    cfg = ExtractConfig(window=4096, top_k=4, min_period=9.0,
+    cfg = ExtractConfig(window=window, top_k=4, min_period=9.0,
                         max_period=200.0, method=Method.MUSIC, ar_order=10)
 
     # Per-stage frontier arrays: summing ONLY these lets XLA dead-code-

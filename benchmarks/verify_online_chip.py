@@ -65,6 +65,25 @@ def main() -> None:
         lo += c
     check(drv_b.buffers(), want_b, f"fleet(b={b})")
 
+    # opt-in fast path: tolerance-gated (not bitwise) — discrete fields
+    # exact on the gate series, floats to f32 noise.
+    drv_f = V757OnlineDriver(cfg, fast_spectral=True)
+    lo = 0
+    for c in chunks:
+        drv_f.update(s[lo : lo + c])
+        lo += c
+    got = drv_f.buffers()
+    for k in want:
+        a, g = want[k], got[k]
+        if a.dtype.kind in "bi":
+            np.testing.assert_array_equal(g, a, err_msg=f"fast:{k}")
+        else:
+            sc = np.abs(a).max() + 1e-9
+            rel = np.abs(a - g).max() / sc
+            assert rel < 2e-4, (k, rel)
+    print("[verify-online-chip] fast_spectral: discrete exact, "
+          "floats <= 2e-4 rel OK", flush=True)
+
 
 if __name__ == "__main__":
     main()

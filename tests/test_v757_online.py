@@ -255,3 +255,73 @@ def test_online_randomized_chunking_fuzz_and_program_count():
     assert (
         O._online_step._cache_size() <= len(O._CANONICAL_STEPS) + 1
     ), O._online_step._cache_size()
+
+
+# ------------------------------------------------------- fast spectral
+
+
+def assert_fast_close(got: dict, want: dict, rel=2e-4):
+    """Fast-path gate: discrete fields exact on the gate series, floats
+    within the tolerance-gated fast-path standard (the recurrence +
+    re-anchor agree with the block recompute to f32 noise; slot_power
+    carries the largest relative wobble)."""
+    assert set(got) == set(want)
+    for k in want:
+        a, b = want[k], got[k]
+        assert b.dtype == a.dtype, k
+        if a.dtype.kind in "bi":
+            np.testing.assert_array_equal(b, a, err_msg=k)
+        else:
+            sc = np.abs(a).max() + 1e-9
+            assert np.abs(a - b).max() / sc < rel, (
+                k, np.abs(a - b).max() / sc)
+
+
+@pytest.mark.slow
+def test_online_fast_spectral_matches_oneshot():
+    """fast_spectral=True: the O(r) incremental sliding-DFT serving path
+    reproduces the one-shot run to f32 noise under mixed chunking
+    (VERDICT r4 item 4 — the opt-in non-bitwise fast path)."""
+    cfg = V757Config(**BASE)
+    s = series(sum(CHUNKS), seed=3)
+    drv = V757OnlineDriver(cfg, fast_spectral=True)
+    lo = 0
+    for c in CHUNKS:
+        drv.update(s[lo : lo + c])
+        lo += c
+    assert_fast_close(drv.buffers(), run_v757(s, cfg))
+
+
+@pytest.mark.slow
+def test_online_fast_spectral_fleet_one_bar_ticks():
+    """Fast path + fleet batch, strict one-bar cadence (crosses a
+    re-anchor boundary)."""
+    from wavespec_tpu.pipeline import run_v757_batch
+
+    cfg = V757Config(**BASE)
+    n = W + 140
+    batch = batch_series(n, 2, seed0=31)
+    drv = V757OnlineDriver(cfg, batch=2, fast_spectral=True)
+    drv.update(batch[:, : W + 100])
+    for i in range(W + 100, n):
+        drv.update(batch[:, i : i + 1])
+    assert_fast_close(drv.buffers(), run_v757_batch(batch, cfg))
+
+
+def test_online_fast_spectral_nodetrend():
+    cfg = V757Config(**{**BASE, "detrend": DetrendMode.NONE,
+                        "taper": WindowType.HANN})
+    n = W + 135
+    s = series(n, seed=23)
+    drv = V757OnlineDriver(cfg, fast_spectral=True)
+    drv.update(s[: W + 3])
+    drv.update(s[W + 3 :])
+    assert_fast_close(drv.buffers(), run_v757(s, cfg))
+
+
+def test_online_fast_spectral_rejects_bartlett():
+    with pytest.raises(ValueError, match="harmonic taper"):
+        V757OnlineDriver(
+            V757Config(**{**BASE, "taper": WindowType.BARTLETT}),
+            fast_spectral=True,
+        )
