@@ -159,12 +159,12 @@ def rfft_band_fused(
     ]
     # Under shard_map the window input varies over mesh axes while the DFT
     # constants don't; promote the constants to the same varying set
-    # (pvary is a data no-op) so the kernel's dot_generals see matching
+    # (a data no-op) so the kernel's dot_generals see matching
     # vma — without this the sharded ridge path fails vma checking (see rfft_band_fused_any for the interpret-mode caveat).
-    vma = getattr(jax.typeof(xt), "vma", None) or frozenset()
-    consts = [jnp.asarray(c) for c in (f1r, f1i, ur, ui, f2r, f2i)]
-    if vma:
-        consts = [jax.lax.pvary(c, tuple(vma)) for c in consts]
+    from wavespec_tpu.utils.vma import pvary_like
+
+    consts = pvary_like([jnp.asarray(c) for c in (f1r, f1i, ur, ui, f2r, f2i)],
+                        xt)
     re, im = pl.pallas_call(
         kernel,
         grid=grid,

@@ -295,10 +295,10 @@ def select_candidates_pallas(
     out_spec = pl.BlockSpec((WT, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    vma = getattr(jax.typeof(pseudo), "vma", None) or frozenset()
-    consts = [jnp.asarray(c) for c in (*fr_np, *co_np, b2g_np)]
-    if vma:
-        consts = [jax.lax.pvary(c, tuple(vma)) for c in consts]
+    from wavespec_tpu.utils.vma import pvary_like
+
+    consts = pvary_like([jnp.asarray(c) for c in (*fr_np, *co_np, b2g_np)],
+                        pseudo)
     fr_in, co_in, b2g_in = consts[:r], consts[r : 2 * r], consts[2 * r]
 
     kernel = partial(
