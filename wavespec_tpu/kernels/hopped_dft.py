@@ -69,6 +69,27 @@ def hopped_eligible(window: int, hop: int) -> bool:
     return p <= 16
 
 
+def _combine_factors(r_rows: int, smax: int = 8) -> tuple[int, ...]:
+    """Factor the full-row count into per-level radices ≤ `smax`.
+
+    Greedy largest-divisor-first so the stride grows fastest (later
+    levels then run on the shortest arrays). A prime remainder > smax
+    becomes its own (final) level.
+    """
+    fs: list[int] = []
+    r = r_rows
+    while r > smax:
+        for f in range(smax, 1, -1):
+            if r % f == 0:
+                fs.append(f)
+                r //= f
+                break
+        else:  # prime remainder
+            break
+    fs.append(r)
+    return tuple(fs)
+
+
 @lru_cache(maxsize=32)
 def _plan(window: int, hop: int, k_bins: int):
     """Constant tables (numpy, trace-time)."""
@@ -157,18 +178,49 @@ def rfft_band_hopped(
     gr = row_dot(s2d, jnp.asarray(er))
     gi = row_dot(s2d, jnp.asarray(ei))
 
-    # Full-row sum C[m, k] = sum_{r=1}^{R-1} W[r] G[m+r]: R-2 static
-    # shifted complex FMAs (row-independent -> append-invariant).
+    # Full-row sum C[m, k] = sum_{r=1}^{R-1} W[r] G[m+r]: static shifted
+    # complex FMAs (row-independent -> append-invariant). A single
+    # (R-1)-term chain exceeds XLA's fusion operand limit once R grows
+    # past ~32, and the unfused chain runs at HBM bandwidth (chip: the
+    # window-16384 R=128 chain was ~0.3 ms of a 0.76 ms/window MUSIC
+    # budget). For large R the sum is evaluated instead as a multi-level
+    # radix split over the row digits r = sum_l a_l*T_l (a Cooley-Tukey
+    # DFT over the row axis, T_l = prod of earlier radices):
+    #     E_{l+1}[p] = sum_a W[a*T_l] E_l[p + a*T_l]
+    # so each level is a <=8-term fused elementwise pass, log depth, and
+    # the r=0 exclusion becomes one exact subtraction C = E_final - G.
+    # Small R keeps the original single chain (bit-identical to r4).
     m_count = max(bases) + (n_i - 1) * step_q + 1
-    cr = jnp.zeros_like(gr[:, :m_count])
-    ci = jnp.zeros_like(cr)
-    for r in range(1, r_rows):
-        gsr = gr[:, r : r + m_count]
-        gsi = gi[:, r : r + m_count]
-        wrr = wr[r - 1][None, None, :]
-        wir = wi[r - 1][None, None, :]
-        cr = cr + (wrr * gsr - wir * gsi)
-        ci = ci + (wrr * gsi + wir * gsr)
+    if r_rows - 1 <= 32:
+        cr = jnp.zeros_like(gr[:, :m_count])
+        ci = jnp.zeros_like(cr)
+        for r in range(1, r_rows):
+            gsr = gr[:, r : r + m_count]
+            gsi = gi[:, r : r + m_count]
+            wrr = wr[r - 1][None, None, :]
+            wir = wi[r - 1][None, None, :]
+            cr = cr + (wrr * gsr - wir * gsi)
+            ci = ci + (wrr * gsi + wir * gsr)
+    else:
+        sum_r = gr[:, : m_count + r_rows - 1]
+        sum_i = gi[:, : m_count + r_rows - 1]
+        t_stride = 1
+        for s_fac in _combine_factors(r_rows):
+            new_len = sum_r.shape[1] - (s_fac - 1) * t_stride
+            ar = jax.lax.slice_in_dim(sum_r, 0, new_len, axis=1)
+            ai = jax.lax.slice_in_dim(sum_i, 0, new_len, axis=1)
+            for a in range(1, s_fac):
+                off = a * t_stride
+                sr = jax.lax.slice_in_dim(sum_r, off, off + new_len, axis=1)
+                si = jax.lax.slice_in_dim(sum_i, off, off + new_len, axis=1)
+                wrr = wr[off - 1][None, None, :]
+                wir = wi[off - 1][None, None, :]
+                ar = ar + (wrr * sr - wir * si)
+                ai = ai + (wrr * si + wir * sr)
+            sum_r, sum_i = ar, ai
+            t_stride *= s_fac
+        cr = sum_r[:, :m_count] - gr[:, :m_count]
+        ci = sum_i[:, :m_count] - gi[:, :m_count]
 
     # Per-phase boundary rows (strided row slices, one per window).
     def stride_rows(a, start):

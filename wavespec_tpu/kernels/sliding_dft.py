@@ -64,7 +64,8 @@ def taper_harmonics(window_type: WindowType | int) -> list[tuple[int, float]] | 
 
 
 @lru_cache(maxsize=None)
-def _tables(window: int, n_bins: int, chunk: int, window_type: int):
+def _tables(window: int, n_bins: int, chunk: int, window_type: int,
+            k_lo: int = 0):
     """Host-side f64 phase tables for (N, K, C, taper); f32 parts out.
 
     Returns a dict of numpy arrays:
@@ -73,6 +74,10 @@ def _tables(window: int, n_bins: int, chunk: int, window_type: int):
       k_head / k_tail (re, im): conv kernel matrices [C-1, K], indexed by
         u with d = C-1-u (see `sliding_band_spec`);
       en (re, im): anchor spread table [C, K, M] = a_m e^{+2pi i phi n}.
+
+    `k_lo` drops bins below the analysis band from every table
+    (K = n_bins - k_lo effective columns); each bin's math is
+    column-independent, so the kept bins are identical to the full run.
     """
     n = window
     harmonics = taper_harmonics(window_type)
@@ -81,7 +86,7 @@ def _tables(window: int, n_bins: int, chunk: int, window_type: int):
     m_vals = np.array([m for m, _ in harmonics], np.float64)
     a_vals = np.array([a for _, a in harmonics], np.float64)
     n_m = len(harmonics)
-    k = np.arange(n_bins, dtype=np.float64)
+    k = np.arange(k_lo, n_bins, dtype=np.float64)
     # cycles/sample; [K, M]
     phi = k[:, None] / n - m_vals[None, :] / (n - 1)
     phi_f = phi.reshape(-1)  # [K*M], k-major
@@ -187,7 +192,8 @@ def _stable_matmul(x, w_re, w_im):
 
 @partial(
     jax.jit,
-    static_argnames=("window", "n_bins", "window_type", "chunk", "pin"),
+    static_argnames=("window", "n_bins", "window_type", "chunk", "pin",
+                     "k_lo"),
 )
 def sliding_band_spec(
     series: jax.Array,
@@ -196,12 +202,20 @@ def sliding_band_spec(
     window_type: WindowType | int = WindowType.NONE,
     chunk: int = 128,
     pin: bool = False,
+    k_lo: int = 0,
 ) -> jax.Array:
     """Tapered band spectrum of EVERY hop=1 window of ``series``.
 
     series: [..., L] f32; frame n covers samples [n, n+window).
     Returns complex64 [..., T, n_bins] with T = L - window + 1, equal (to
     f32 rounding) to ``DFT(frame_series(series) * taper)[..., :n_bins]``.
+
+    ``k_lo > 0`` skips the DFT work for bins [0, k_lo) and returns exact
+    ZEROS there (shape unchanged): every internal table/contraction is
+    per-bin, so the kept bins are untouched. Callers that never read
+    below their analysis band (v757 reads only [k_min-1, k_max+2]) drop
+    ~1/3 of the anchor-basis FLOPs and memory this way — at window
+    262144 the difference between a fitting and a non-fitting program.
 
     Chunked: frames are grouped in blocks of ``chunk``; each block anchors
     on an exact framed DFT of its first window (bounding the closed-form
@@ -237,7 +251,10 @@ def sliding_band_spec(
     )
     wt = int(WindowType(int(window_type)))
     n = window
-    tabs = _tables(n, n_bins, chunk, wt)
+    if not 0 <= k_lo < n_bins:
+        raise ValueError(f"k_lo {k_lo} outside [0, {n_bins})")
+    kb = n_bins - k_lo
+    tabs = _tables(n, n_bins, chunk, wt, k_lo)
     lead = series.shape[:-1]
     length = series.shape[-1]
     t_frames = length - n + 1
@@ -293,8 +310,8 @@ def sliding_band_spec(
                         j1 * j2, km)[:n]
         y0_re, y0_im = mm(w0, basis_re, basis_im)  # [.., n_chunk, K*M]
     n_m = tabs["n_m"]
-    y0_re = pb(y0_re).reshape(*lead, n_chunk, n_bins, n_m)
-    y0_im = pb(y0_im).reshape(*lead, n_chunk, n_bins, n_m)
+    y0_re = pb(y0_re).reshape(*lead, n_chunk, kb, n_m)
+    y0_im = pb(y0_im).reshape(*lead, n_chunk, kb, n_m)
 
     # 2) spread anchors over the chunk: P0[c, n, k] = sum_m En[n,k,m] Y0[c,k,m].
     # As an unrolled M-term broadcast-FMA chain, NOT an einsum: the dot
@@ -302,7 +319,7 @@ def sliding_band_spec(
     # [.., C, K] layout transposes) — m <= 5, so elementwise FMAs fuse
     # into a single output pass instead.
     en_re, en_im = jnp.asarray(tabs["en_re"]), jnp.asarray(tabs["en_im"])
-    p_re = jnp.zeros((*lead, n_chunk, chunk, n_bins), jnp.float32)
+    p_re = jnp.zeros((*lead, n_chunk, chunk, kb), jnp.float32)
     p_im = p_re
     for mi in range(tabs["n_m"]):
         er, ei = en_re[:, :, mi], en_im[:, :, mi]          # [C, K]
@@ -335,8 +352,12 @@ def sliding_band_spec(
     )
 
     spec_re = (pb(p_re) + pb(t_re) - pb(h_re)).reshape(
-        *lead, n_chunk * c, n_bins)
+        *lead, n_chunk * c, kb)
     spec_im = (pb(p_im) + pb(t_im) - pb(h_im)).reshape(
-        *lead, n_chunk * c, n_bins)
+        *lead, n_chunk * c, kb)
+    if k_lo:
+        widths = [(0, 0)] * (spec_re.ndim - 1) + [(k_lo, 0)]
+        spec_re = jnp.pad(spec_re, widths)
+        spec_im = jnp.pad(spec_im, widths)
     return jax.lax.complex(spec_re[..., :t_frames, :],
                            spec_im[..., :t_frames, :])

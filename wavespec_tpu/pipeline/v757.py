@@ -164,8 +164,14 @@ def _resumable_block_spec(seg, hp_seg, trend_seg, cfg: V757Config):
     barrier = jax.lax.optimization_barrier
 
     if _use_sliding(cfg, 1):
+        # k_lo: every downstream read sits in [k_min-1, k_max+2]
+        # (`_cands_and_gd`), so the sub-band bins are never computed —
+        # they come back as exact zeros (~1/3 of the anchor FLOPs at the
+        # flagship band). Same k_lo on every v757 spectral site keeps the
+        # chunked==one-shot bitwise contract comparing identical programs.
         spec = sliding_band_spec(
-            hp_seg, n, n_bins, cfg.taper, chunk=fb, pin=True
+            hp_seg, n, n_bins, cfg.taper, chunk=fb, pin=True,
+            k_lo=_gd_lo(cfg),
         )
         # pin the raw sliding output FIRST: its internal add chain fused
         # with the correction subtract rounds context-dependently
@@ -317,7 +323,8 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
             alpha = (1.0 - _np.sin(wf)) / _np.cos(wf)
             c2 = 1.0 - alpha  # = 2*c
             hp_s = ehlers_highpass_detrend(series, cfg.trend_period)
-            spec = sliding_band_spec(hp_s, n, n_bins, cfg.taper)
+            spec = sliding_band_spec(hp_s, n, n_bins, cfg.taper,
+                                     k_lo=_gd_lo(cfg))
             t_frames = spec.shape[-2]
             trend_s = series - hp_s
             delta = (
@@ -329,7 +336,8 @@ def _spectral_frames(series: jax.Array, cfg: V757Config, hop: int):
             ))
             spec = spec - delta[..., None] * tg
         else:
-            spec = sliding_band_spec(series, n, n_bins, cfg.taper)
+            spec = sliding_band_spec(series, n, n_bins, cfg.taper,
+                                     k_lo=_gd_lo(cfg))
     else:
         if cfg.detrend == DetrendMode.EHLERS:
             # Rank-1 identity (extract.frame_highpassed): the per-window
