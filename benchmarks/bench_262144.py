@@ -71,8 +71,13 @@ def bench_music(nwin: int = 32, hop: int = 64, k: int = 32) -> None:
 
     from wavespec_tpu.extract import ExtractConfig, Method, extract_cycles_batch
 
+    # music_xla_select: the Pallas select kernel is tuned for production
+    # grids (~1.7k points at 4096); at this window the merged grid is
+    # ~116k points — route selection through the XLA chain instead of
+    # risking an unbounded Mosaic compile for a scale probe.
     cfg = ExtractConfig(window=WINDOW, top_k=4, min_period=9.0,
-                        max_period=200.0, method=Method.MUSIC, ar_order=10)
+                        max_period=200.0, method=Method.MUSIC, ar_order=10,
+                        music_xla_select=True)
     slen = WINDOW + (nwin - 1) * hop
     x = jax.device_put(jnp.asarray(_series(slen)))
 

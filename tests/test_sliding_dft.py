@@ -69,6 +69,26 @@ def test_k_lo_skips_subband_bins():
             assert np.abs(part[..., k_lo:] - full[..., k_lo:]).max() / scale < 3e-6
 
 
+def test_three_step_anchor_large_window():
+    """Windows with > 256 row groups (window > 32768) ship the anchor
+    basis as two u-factors instead of the [J1, K*M] a-table (~470 MB x2
+    of jit constants at 262144 — it broke the remote-compile transport);
+    same framed-oracle parity, and pin=True is a documented refusal."""
+    import pytest
+
+    window, n_bins, k_lo, t_frames = 65536, 40, 8, 4
+    s = _series(window + t_frames - 1, seed=7)
+    spec = np.asarray(sliding_band_spec(
+        jnp.asarray(s), window, n_bins, WindowType.HANN, k_lo=k_lo))
+    oracle = _oracle(s, window, n_bins, WindowType.HANN)
+    oracle[:, :k_lo] = 0
+    rel = np.abs(spec - oracle).max() / np.abs(oracle[:, k_lo:]).max()
+    assert rel < 3e-6, rel
+    with pytest.raises(ValueError, match="pin=True is unsupported"):
+        sliding_band_spec(jnp.asarray(s), window, n_bins,
+                          WindowType.HANN, pin=True)
+
+
 def test_chunk_size_is_numerics_only():
     """Different chunkings agree to f32 noise (the math is chunk-invariant)."""
     window, n_bins = 128, 16

@@ -165,9 +165,29 @@ def _bin_to_gidx_table(cfg, k_min_fb: int, k_max_fb: int) -> np.ndarray:
     general `_nearest_merged_idx` costs a per-band searchsorted chain in
     the latency path)."""
     parts = [_freq_grid_band_np(cfg, lo, hi)[0] for (lo, hi, _) in _band_plan(cfg)]
-    freqs = np.concatenate(parts)
     k_vals = np.arange(k_min_fb, k_max_fb + 1, dtype=np.float64) / cfg.window
-    return np.abs(freqs[None, :] - k_vals[:, None]).argmin(axis=1).astype(np.int32)
+    # Nearest point via per-band searchsorted (each band's grid IS sorted
+    # ascending; only the concatenation isn't): the dense [bins, grid]
+    # argmin broadcast is ~27 GB of host f64 at window 262144 (29k bins x
+    # 116k grid points) and minutes of trace time. Ties reproduce the
+    # argmin's first-occurrence rule: within a band the earlier (lower)
+    # neighbor wins, across bands the earlier band wins (strict <).
+    best_d = np.full(k_vals.shape, np.inf)
+    best_i = np.zeros(k_vals.shape, np.int32)
+    off = 0
+    for p in parts:
+        pos = np.searchsorted(p, k_vals)
+        lo_i = np.clip(pos - 1, 0, len(p) - 1)
+        hi_i = np.clip(pos, 0, len(p) - 1)
+        d_lo = np.abs(k_vals - p[lo_i])
+        d_hi = np.abs(p[hi_i] - k_vals)
+        idx_b = np.where(d_hi < d_lo, hi_i, lo_i)
+        d_b = np.minimum(d_lo, d_hi)
+        take = d_b < best_d
+        best_d = np.where(take, d_b, best_d)
+        best_i = np.where(take, (idx_b + off).astype(np.int32), best_i)
+        off += len(p)
+    return best_i
 
 
 def band_precondition_windows(series: jax.Array, cfg, hop: int):

@@ -103,7 +103,25 @@ def _tables(window: int, n_bins: int, chunk: int, window_type: int,
     j1 = -(-n // j2)
     u = np.arange(j1, dtype=np.float64)[:, None] * j2
     v = np.arange(j2, dtype=np.float64)[:, None]
-    a_re, a_im = cis(-u * phi_f[None, :])
+    # For very large windows the [J1, K*M] a-table is itself the
+    # problem: at window 262144 / the v757 band it is ~470 MB of f32 x2
+    # as jit CONSTANTS, which broke the remote-compile transport. Factor
+    # u = u1*U2 + u2 once more (exact complex identity, each factor
+    # mod-1 folded in f64) and ship [J1/U2 + U2, K*M] instead; the
+    # two-level combine is gated to j1 > 256 so smaller windows keep
+    # their existing arithmetic bit-for-bit.
+    if j1 > 256:
+        u2n = 64
+        while j1 % u2n:
+            u2n //= 2
+        u1 = np.arange(j1 // u2n, dtype=np.float64)[:, None] * (u2n * j2)
+        u2 = np.arange(u2n, dtype=np.float64)[:, None] * j2
+        a1_re, a1_im = cis(-u1 * phi_f[None, :])
+        a2_re, a2_im = cis(-u2 * phi_f[None, :])
+        a_re = a_im = None
+    else:
+        a_re, a_im = cis(-u * phi_f[None, :])
+        a1_re = a1_im = a2_re = a2_im = None
     b_re, b_im = cis(-v * phi_f[None, :])
 
     # conv kernels: Khead[d] = sum_m a_m e^{+2pi i phi d},
@@ -127,8 +145,11 @@ def _tables(window: int, n_bins: int, chunk: int, window_type: int,
     en_im = (ei * a_vals).astype(np.float32)
 
     f32 = lambda x: np.ascontiguousarray(x, np.float32)
+    opt = lambda x: None if x is None else f32(x)
     return {
-        "a_re": f32(a_re), "a_im": f32(a_im),
+        "a_re": opt(a_re), "a_im": opt(a_im),
+        "a1_re": opt(a1_re), "a1_im": opt(a1_im),
+        "a2_re": opt(a2_re), "a2_im": opt(a2_im),
         "b_re": f32(b_re), "b_im": f32(b_im),
         "k_head_re": f32(k_head_re), "k_head_im": f32(k_head_im),
         "k_tail_re": f32(k_tail_re), "k_tail_im": f32(k_tail_im),
@@ -141,18 +162,35 @@ def tapered_dft_of(vector: np.ndarray, n_bins: int,
                    window_type: WindowType | int) -> np.ndarray:
     """Host-side f64 tapered DFT of a fixed length-N vector at bins
     [0, n_bins) — for trace-time constants like the Ehlers rank-1
-    correction spectrum (`extract.frame_highpassed`)."""
+    correction spectrum (`extract.frame_highpassed`).
+
+    Factored two-step (j = u*J2 + v, mod-1 folded phases per factor):
+    the direct [N, K] outer-product basis is ~30 GB of host f64 at
+    window 262144 / 14564 bins and was ~25 min of single-threaded trig
+    at TRACE time; the factored form peaks at [N/128, K] (~240 MB) with
+    the same f64 arithmetic.
+    """
     n = len(vector)
     from wavespec_tpu.ops.windows import _window_np
 
     t = _window_np(n, WindowType(int(window_type)))
-    j = np.arange(n, dtype=np.float64)
-    k = np.arange(n_bins, dtype=np.float64)
-    ph = np.outer(j, k) / n
-    ph -= np.round(ph)
     tv = t * np.asarray(vector, np.float64)
-    re = tv @ np.cos(-2 * np.pi * ph)
-    im = tv @ np.sin(-2 * np.pi * ph)
+    j2 = min(128, n)
+    j1 = -(-n // j2)
+    if j1 * j2 != n:
+        tv = np.pad(tv, (0, j1 * j2 - n))
+    k = np.arange(n_bins, dtype=np.float64)
+
+    def cs(ph):
+        ph = ph - np.round(ph)
+        return np.cos(-2 * np.pi * ph), np.sin(-2 * np.pi * ph)
+
+    cv, sv = cs(np.outer(np.arange(j2, dtype=np.float64), k) / n)
+    inner_re = tv.reshape(j1, j2) @ cv            # [J1, K]
+    inner_im = tv.reshape(j1, j2) @ sv
+    cu, su = cs(np.outer(np.arange(j1, dtype=np.float64) * j2, k) / n)
+    re = (cu * inner_re - su * inner_im).sum(0)
+    im = (cu * inner_im + su * inner_re).sum(0)
     return (re + 1j * im).astype(np.complex64)
 
 
@@ -274,14 +312,41 @@ def sliding_band_spec(
     # 1) anchor DFTs: windows at chunk starts contracted against the
     # e^{-2pi i phi j} basis.
     w0 = pb(frame_series(s, n, chunk)[..., :n_chunk, :])  # [.., n_chunk, N]
-    j1, km = tabs["a_re"].shape
-    j2 = tabs["b_re"].shape[0]
-    a_re, a_im = jnp.asarray(tabs["a_re"]), jnp.asarray(tabs["a_im"])
+    j2, km = tabs["b_re"].shape
+    j1 = -(-n // j2)
     b_re, b_im = jnp.asarray(tabs["b_re"]), jnp.asarray(tabs["b_im"])
     lead_rows = 1
     for d_ in lead:
         lead_rows *= int(d_)
-    if not pin and lead_rows * n_chunk < 256:
+    two_level = tabs["a_re"] is None       # j1 > 256 (see _tables)
+    if two_level and pin:
+        raise ValueError(
+            f"pin=True is unsupported at window {n}: the bitwise "
+            "fixed-order anchor would need O(window * bins) collapsed-"
+            "basis constants (30 GB at 262144) — use the default path"
+        )
+    if two_level:
+        # THREE-step anchor (j = (u1*U2 + u2)*J2 + v): the [J1, K*M]
+        # a-table itself is ~470 MB x2 of jit constants at window
+        # 262144 and broke the remote-compile transport; ship the two
+        # u-factors (~11 MB) and fold them in as two mul-reduce levels
+        # over runtime tensors instead.
+        w0f = w0
+        if j1 * j2 != n:
+            w0f = jnp.pad(
+                w0, [(0, 0)] * (w0.ndim - 1) + [(0, j1 * j2 - n)])
+        w0f = w0f.reshape(*lead, n_chunk, j1, j2)
+        i_re, i_im = mm(w0f, b_re, b_im)       # [.., n_chunk, j1, K*M]
+        u2n = tabs["a2_re"].shape[0]
+        i_re = i_re.reshape(*lead, n_chunk, j1 // u2n, u2n, km)
+        i_im = i_im.reshape(*lead, n_chunk, j1 // u2n, u2n, km)
+        a2r, a2i = jnp.asarray(tabs["a2_re"]), jnp.asarray(tabs["a2_im"])
+        s_re = jnp.sum(a2r * i_re - a2i * i_im, axis=-2)  # [.., U1, K*M]
+        s_im = jnp.sum(a2r * i_im + a2i * i_re, axis=-2)
+        a1r, a1i = jnp.asarray(tabs["a1_re"]), jnp.asarray(tabs["a1_im"])
+        y0_re = jnp.sum(a1r * s_re - a1i * s_im, axis=-2)
+        y0_im = jnp.sum(a1r * s_im + a1i * s_re, axis=-2)
+    elif not pin and lead_rows * n_chunk < 256:
         # FACTORED anchor (j = u*J2 + v two-step, like the four-step
         # FFT): with few anchor rows the collapsed [N, K*M] basis is
         # both memory-bound (300 MB x2 at window 16384 / 913 bins,
@@ -299,9 +364,11 @@ def sliding_band_spec(
                 w0, [(0, 0)] * (w0.ndim - 1) + [(0, j1 * j2 - n)])
         w0f = w0f.reshape(*lead, n_chunk, j1, j2)
         i_re, i_im = mm(w0f, b_re, b_im)       # [.., n_chunk, j1, K*M]
+        a_re, a_im = jnp.asarray(tabs["a_re"]), jnp.asarray(tabs["a_im"])
         y0_re = jnp.sum(a_re * i_re - a_im * i_im, axis=-2)
         y0_im = jnp.sum(a_re * i_im + a_im * i_re, axis=-2)
     else:
+        a_re, a_im = jnp.asarray(tabs["a_re"]), jnp.asarray(tabs["a_im"])
         basis_re = (a_re[:, None, :] * b_re[None, :, :]
                     - a_im[:, None, :] * b_im[None, :, :]).reshape(
                         j1 * j2, km)[:n]
